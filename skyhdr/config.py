@@ -1,0 +1,120 @@
+"""Typed configuration tree shared by all entry points.
+
+The reference spreads overlapping argparse flags and mutated module globals
+across its scripts (reference train.py:531-543, train_sun.py:478-488,
+inference.py:126-130, datasetGenerator.py:31-35). Here one frozen dataclass
+tree carries every knob; CLI layers parse into it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture knobs (reference generator.py:52, sunpose_net.py:33)."""
+
+    im_height: int = 32
+    im_width: int = 128
+    channels: int = 3
+    # Encoder/decoder widths (reference generator.py:60-87).
+    enc_filters: Tuple[int, int, int] = (32, 64, 128)
+    num_res_blocks: int = 6
+    dec_filters: Tuple[int, int] = (64, 32)
+    # Distortion-aware conv: kernel size / dilation (reference
+    # distortion_aware_ops.py:9,24). use_da_conv=False matches the
+    # reference's *active* code path (generator.py:13-14 comments the DA
+    # conv out in favor of plain conv); True enables the paper's op.
+    da_kernel_size: int = 3
+    dilation_rate: int = 1
+    use_da_conv: bool = False
+    # Numerics: conv stacks may run bf16; the radiance path (values up to
+    # 3e4, reference sunrad_net.py:69) always stays f32.
+    compute_dtype: str = "float32"
+    # HDR mu-law valid dynamic range (reference tf_utils.py:263).
+    valid_dr: float = 10.0
+    # Alpha-blend threshold on linear sky prediction (reference train.py:247).
+    alpha_threshold: float = 0.12
+    # Sun-radiance Dirac-delta clip (reference sunrad_net.py:69).
+    sun_rad_clip: float = 30000.0
+    # vMF concentration for the sun-pose ground truth (reference train.py:42).
+    vmf_kappa: float = 80.0
+
+    @property
+    def imshape(self) -> Tuple[int, int, int]:
+        return (self.im_height, self.im_width, self.channels)
+
+    @property
+    def num_bins(self) -> int:
+        return self.im_height * self.im_width
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset + degradation pipeline (reference train.py:54-133)."""
+
+    dataset_dir: str = "dataset_128_32/tfrecord"
+    batch_size: int = 32
+    shuffle_buffer: int = 10000
+    # Exposure sweep 2**linspace(-3,3) (reference utils.py:86-91).
+    n_train_exposures: int = 600
+    n_test_exposures: int = 7
+    # DoRF camera response curves: first 175 train / rest test
+    # (reference utils.py:105-116).
+    dorf_path: Optional[str] = None
+    # JPEG-simulation quality ramp lo..hi across the batch
+    # (reference train.py:89: i/(b-1)*10+90).
+    jpeg_quality_lo: float = 90.0
+    jpeg_quality_hi: float = 100.0
+    jpeg_chroma_subsample: bool = True
+    # Noise model (reference train.py:67-69).
+    sigma_s_scale: float = 0.08 / 6.0
+    sigma_c_scale: float = 0.005
+    # Laval extraction: first N images -> train split
+    # (reference DataGeneration/loadLavalSkyDB.py:68).
+    train_split_count: int = 30000
+    img_bias: float = 0.00955794  # reference datasetGenerator.py:13
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + orchestration (reference train.py:29-36,201-202)."""
+
+    learning_rate: float = 1e-4
+    epochs: int = 1000
+    # Loss weights (reference train.py:331).
+    w_sun: float = 1.0
+    w_dog: float = 1000.0
+    w_adv: float = 1.0
+    w_l1: float = 10.0
+    w_perceptual: float = 0.01
+    # Checkpointing (reference train.py:215,516; tf_utils.py:313).
+    ckpt_every_epochs: int = 10
+    ckpt_max_to_keep: int = 5
+    checkpoint_dir: str = "checkpoints"
+    tensorboard_dir: str = "tensorboard"
+    vgg_path: Optional[str] = None
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. New capability vs. the reference (SURVEY.md §2.3):
+    data parallelism over `data`, width-sharded spatial parallelism over
+    `width` with cyclic halo exchange for the 360° wraparound."""
+
+    data_parallel: int = 1
+    width_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)

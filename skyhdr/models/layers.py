@@ -1,0 +1,115 @@
+"""Flax building blocks mirroring the reference's hand-rolled Keras layers.
+
+  * conv / Conv wrapper          — reference ops.py:4-42
+  * ResizeDeconv (resize-conv)   — reference ops.py:44-126 ('resize' method;
+                                   resize-conv avoids checkerboard artifacts,
+                                   see the distill.pub citation at ops.py:91)
+  * InstanceNorm                 — tfa.layers.InstanceNormalization used all
+                                   over reference generator.py/sunpose_net.py
+  * Downsampling                 — reference discriminator.py:7-27 /
+                                   sunrad_net.py:8-28 (conv-BN-LeakyReLU)
+
+Initialization matches the reference: glorot_uniform conv kernels
+(ops.py:11), normal(0, 0.02) for GAN downsampling convs
+(discriminator.py:12).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from skyhdr.ops.resize import resize_bilinear
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over (H, W) with learned scale
+    and offset. Matches tfa.layers.InstanceNormalization (epsilon=1e-3)."""
+
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,))
+        beta = self.param("bias", nn.initializers.zeros, (c,))
+        # Statistics in f32 even under bf16 compute for stability.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
+        var = jnp.var(xf, axis=(-3, -2), keepdims=True)
+        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        return (y * gamma + beta).astype(x.dtype)
+
+
+def conv(features: int, kernel: int, strides: int = 1, *, name=None,
+         use_bias: bool = True, init_scale: str = "glorot"):
+    """SAME-padded conv with the reference's initializers."""
+    if init_scale == "glorot":
+        kinit = nn.initializers.glorot_uniform()
+    else:  # GAN downsampling convs: normal(0, 0.02) (discriminator.py:12)
+        kinit = nn.initializers.normal(stddev=0.02)
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(strides, strides),
+        padding="SAME",
+        use_bias=use_bias,
+        kernel_init=kinit,
+        name=name,
+    )
+
+
+class ResizeDeconv(nn.Module):
+    """Bilinear resize to `out_hw` followed by a SAME conv — the reference's
+    'resize' deconv method (ops.py:90-124), kept because transpose convs
+    checkerboard. The resize is two static matmuls (skyhdr.ops.resize)."""
+
+    features: int
+    out_hw: Tuple[int, int]
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = resize_bilinear(x, self.out_hw)
+        return conv(self.features, self.kernel, name="conv")(x)
+
+
+class Downsampling(nn.Module):
+    """conv(k, s, no bias) -> [BatchNorm] -> LeakyReLU(0.3).
+
+    Mirrors reference discriminator.py:7-27: Keras LeakyReLU defaults to
+    alpha=0.3 (the generator path uses 0.1 explicitly — don't conflate).
+    BatchNorm carries running stats in the `batch_stats` collection; pass
+    `train=False` to consume them (the reference's `training=False` disc
+    forward inside the generator step, train.py:302).
+    """
+
+    features: int
+    kernel: int = 4
+    strides: int = 2
+    apply_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = conv(self.features, self.kernel, self.strides,
+                 use_bias=False, init_scale="gan", name="conv")(x)
+        if self.apply_norm:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.99,
+                epsilon=1e-3,
+                name="bn",
+            )(x)
+        return nn.leaky_relu(x, 0.3)
+
+
+def leaky_relu_01(x):
+    """The generator-side activation (reference tf.nn.leaky_relu(x, 0.1))."""
+    return nn.leaky_relu(x, 0.1)
+
+
+def maxpool2(x):
+    """2x2 max pool, stride 2, SAME (reference ops.py:287-300)."""
+    return nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
