@@ -140,9 +140,9 @@ class Generator(nn.Module):
         """Additive blend (reference generator.py:171-174)."""
         return sky_pred + sun_pred
 
-    def __call__(self, x):
-        """Convenience forward for initialization: wires every submodule so a
-        single init() materializes all parameters."""
+    def __call__(self, x, train: bool = False):
+        """Full inference forward (and init wiring: a single init()
+        materializes all parameters). Training uses the split methods."""
         h, w = self.cfg.im_height, self.cfg.im_width
         res = self.encode(x)
         sky = self.sky_decode(res, x)
@@ -151,6 +151,8 @@ class Generator(nn.Module):
         cam2 = jnp.zeros((b, h // 2, w // 2, 1), x.dtype)
         cam3 = jnp.zeros((b, h // 4, w // 4, 1), x.dtype)
         pose = jnp.full((b, h, w, 1), 1.0 / (h * w), x.dtype)
-        sun_rad, gamma, beta = self.sun_rad_estimation(x, cam1, cam2, cam3, pose)
+        sun_rad, gamma, beta = self.sun_rad_estimation(
+            x, cam1, cam2, cam3, pose, train=train
+        )
         sun = self.sun_decode(res, sun_rad)
         return self.blending(sky, sun)
