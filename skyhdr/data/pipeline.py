@@ -1,0 +1,165 @@
+"""Host input pipeline: TFRecord panoramas -> shuffled, batched, prefetched
+device feeds.
+
+Replaces the reference's tf.data graph (train.py:96-133). Parsing semantics
+are identical: raw float32 bytes -> [h, w, 3], BGR->RGB flip (the records
+store OpenCV order, train.py:107), DrTMO mean normalization
+0.5*hdr/(mean+1e-6) (train.py:109-110). The vMF ground truth is NOT built on
+the host: the elevation scalar rides to the device and the jitted train step
+expands it (skyhdr.ops.geometry.vmf_pdf is one [h*w,3]x[3] matmul), moving
+work the reference does per record in tf.data onto the TPU.
+
+Degradation (exposure/noise/CRF/JPEG) is also on device — see
+skyhdr.data.degradation — so the host thread only decodes, shuffles and
+stacks. A double-buffered prefetch thread overlaps host decode with device
+compute (the reference's prefetch(AUTOTUNE) equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from skyhdr.data.records import read_tfrecord_examples
+
+
+def prepare_sample(example: Dict, imshape: Tuple[int, int, int]):
+    """Decode one Example -> (hdr [h,w,3] RGB mean-normalized, elevation).
+
+    Mirrors reference _parse_function (train.py:96-117) minus the vMF
+    expansion (done on device).
+    """
+    h, w, c = imshape
+    raw = example["image"]
+    hdr = np.frombuffer(raw, np.float32).reshape(h, w, c)
+    hdr = hdr[:, :, ::-1]  # BGR -> RGB (train.py:107)
+    hdr = 0.5 * hdr / (hdr.mean() + 1e-6)
+    elevation = float(np.asarray(example["elevation"]).reshape(-1)[0])
+    return hdr.astype(np.float32), elevation
+
+
+class PanoramaDataset:
+    """In-memory dataset of sky-dome panoramas with epoch shuffling.
+
+    The 32x128 Laval training set is ~1.5 GB decoded; it is cached in one
+    contiguous array so every epoch is pure slicing. Set cache=False to
+    re-decode lazily per epoch for larger configs.
+    """
+
+    def __init__(self, tfrecord_dir: str, imshape=(32, 128, 3), batch_size: int = 32,
+                 shuffle: bool = True, seed: int = 0, drop_remainder: bool = True,
+                 cache: bool = True):
+        self.dir = tfrecord_dir
+        self.imshape = tuple(imshape)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+        self._cache = cache
+        self._hdr: Optional[np.ndarray] = None
+        self._elev: Optional[np.ndarray] = None
+        if cache:
+            self._load_all()
+
+    def _load_all(self):
+        hdrs: List[np.ndarray] = []
+        elevs: List[float] = []
+        for ex in read_tfrecord_examples(self.dir):
+            hdr, elev = prepare_sample(ex, self.imshape)
+            hdrs.append(hdr)
+            elevs.append(elev)
+        if not hdrs:
+            raise FileNotFoundError(f"no .tfrecord files under {self.dir}")
+        self._hdr = np.stack(hdrs)
+        self._elev = np.asarray(elevs, np.float32)
+
+    def __len__(self) -> int:
+        n = len(self._hdr) if self._hdr is not None else sum(
+            1 for _ in read_tfrecord_examples(self.dir)
+        )
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self._cache:
+            n = len(self._hdr)
+            order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+            stop = n - n % self.batch_size if self.drop_remainder else n
+            for i in range(0, stop, self.batch_size):
+                idx = order[i:i + self.batch_size]
+                yield {"hdr": self._hdr[idx], "elevation": self._elev[idx]}
+        else:
+            batch_h, batch_e = [], []
+            for ex in read_tfrecord_examples(self.dir):
+                hdr, elev = prepare_sample(ex, self.imshape)
+                batch_h.append(hdr)
+                batch_e.append(elev)
+                if len(batch_h) == self.batch_size:
+                    yield {"hdr": np.stack(batch_h),
+                           "elevation": np.asarray(batch_e, np.float32)}
+                    batch_h, batch_e = [], []
+            if batch_h and not self.drop_remainder:
+                yield {"hdr": np.stack(batch_h),
+                       "elevation": np.asarray(batch_e, np.float32)}
+
+
+def prefetch_to_device(iterator, size: int = 2, device_put=None):
+    """Run the host iterator in a thread, keeping `size` batches in flight
+    (the prefetch(AUTOTUNE) analog; device transfer happens on the worker)."""
+    import jax
+
+    put = device_put or jax.device_put
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(jax.tree_util.tree_map(put, item))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+def synthetic_dataset(n: int, imshape=(32, 128, 3), seed: int = 0,
+                      batch_size: int = 32):
+    """Deterministic synthetic panoramas (bright sun blob on a sky gradient)
+    for hermetic tests and benchmarks."""
+    h, w, c = imshape
+    rng = np.random.default_rng(seed)
+    ys = rng.uniform(2, h - 2, size=n)
+    hdrs = np.empty((n, h, w, c), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for i in range(n):
+        sun_y = ys[i]
+        sun_x = w * 0.5 - 1
+        d2 = (yy - sun_y) ** 2 + (xx - sun_x) ** 2
+        sky = 0.3 + 0.4 * (1 - yy / h)[..., None] * np.ones((1, 1, 3), np.float32)
+        sun = 50.0 * np.exp(-d2 / 4.0)[..., None]
+        img = sky + sun + rng.uniform(0, 0.05, size=(h, w, c))
+        img = 0.5 * img / (img.mean() + 1e-6)
+        hdrs[i] = img
+    ds = {"hdr": hdrs, "elevation": ys.astype(np.float32)}
+
+    class _Synth:
+        def __len__(self):
+            return n // batch_size
+
+        def __iter__(self):
+            for i in range(0, n - n % batch_size, batch_size):
+                yield {"hdr": ds["hdr"][i:i + batch_size],
+                       "elevation": ds["elevation"][i:i + batch_size]}
+
+    return _Synth()

@@ -1,0 +1,262 @@
+"""Data layer tests: TFRecord codec (incl. TF interop), RGBE codec, DoRF
+parsing, pipeline parsing, degradation + JPEG simulation."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from skyhdr.data.records import (
+    decode_example,
+    encode_example,
+    read_tfrecord_examples,
+    write_tfrecord,
+)
+from skyhdr.data.pipeline import PanoramaDataset, prepare_sample, synthetic_dataset
+from skyhdr.data.degradation import DegradationBanks, degrade_batch, jpeg_quality_ramp
+from skyhdr.ops.jpeg import jpeg_simulate, quant_table, _Q_LUMA
+from skyhdr.utils.io import (
+    get_exposure_lists,
+    inverse_rf,
+    load_dorf_curves,
+    make_synthetic_dorf,
+    read_hdr,
+    write_hdr,
+)
+from skyhdr.native import masked_crc32c, crc32c
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vectors.
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(bytes(32)) == 0x8A9136AA
+
+
+def test_example_roundtrip():
+    feats = {
+        "image": b"\x01\x02\x03\x04",
+        "azimuth": 63.0,
+        "elevation": 17.5,
+    }
+    buf = encode_example(feats)
+    back = decode_example(buf)
+    assert back["image"] == b"\x01\x02\x03\x04"
+    np.testing.assert_allclose(back["azimuth"], [63.0])
+    np.testing.assert_allclose(back["elevation"], [17.5])
+
+
+def test_tfrecord_roundtrip(tmp_path, rng):
+    img = rng.normal(size=(4, 8, 3)).astype(np.float32)
+    path = str(tmp_path / "x.tfrecord")
+    write_tfrecord(path, [{"image": img.tobytes(), "azimuth": 1.0, "elevation": 2.0}])
+    exs = list(read_tfrecord_examples(path, verify_crc=True))
+    assert len(exs) == 1
+    back = np.frombuffer(exs[0]["image"], np.float32).reshape(4, 8, 3)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_tfrecord_interop_with_tensorflow(tmp_path, rng):
+    """Our codec must read TF-written records and vice versa — this is the
+    compatibility contract with the reference's datasets
+    (DataGeneration/makeTFRecord.py:24-31)."""
+    tf = pytest.importorskip("tensorflow")
+    img = rng.normal(size=(4, 8, 3)).astype(np.float32)
+
+    # TF writes, we read.
+    tf_path = str(tmp_path / "tf.tfrecord")
+    feature = {
+        "image": tf.train.Feature(bytes_list=tf.train.BytesList(value=[img.tobytes()])),
+        "azimuth": tf.train.Feature(float_list=tf.train.FloatList(value=[63.0])),
+        "elevation": tf.train.Feature(float_list=tf.train.FloatList(value=[17.0])),
+    }
+    ex = tf.train.Example(features=tf.train.Features(feature=feature))
+    opts = tf.io.TFRecordOptions(compression_type="GZIP")
+    with tf.io.TFRecordWriter(tf_path, opts) as w:
+        w.write(ex.SerializeToString())
+    got = list(read_tfrecord_examples(tf_path, verify_crc=True))[0]
+    np.testing.assert_array_equal(
+        np.frombuffer(got["image"], np.float32).reshape(4, 8, 3), img
+    )
+    np.testing.assert_allclose(got["azimuth"], [63.0])
+
+    # We write, TF reads.
+    our_path = str(tmp_path / "ours.tfrecord")
+    write_tfrecord(our_path, [{"image": img.tobytes(), "azimuth": 63.0,
+                               "elevation": 17.0}])
+    ds = tf.data.TFRecordDataset([our_path], compression_type="GZIP")
+    raw = next(iter(ds)).numpy()
+    parsed = tf.io.parse_single_example(raw, {
+        "image": tf.io.FixedLenFeature([], tf.string),
+        "azimuth": tf.io.FixedLenFeature([], tf.float32),
+        "elevation": tf.io.FixedLenFeature([], tf.float32),
+    })
+    np.testing.assert_array_equal(
+        np.frombuffer(parsed["image"].numpy(), np.float32).reshape(4, 8, 3), img
+    )
+    assert float(parsed["azimuth"]) == 63.0
+
+
+def _rgbe_tol(img):
+    """RGBE stores an 8-bit mantissa under a per-pixel shared exponent, so
+    each channel's quantization step is up to max_channel/128."""
+    return img.max(axis=-1, keepdims=True) / 128.0 + 1e-6
+
+
+def test_rgbe_roundtrip(tmp_path, rng):
+    img = (rng.uniform(0, 1, size=(16, 32, 3)) ** 2 * 100).astype(np.float32)
+    path = str(tmp_path / "x.hdr")
+    write_hdr(path, img)
+    back = read_hdr(path)
+    assert back.shape == img.shape
+    assert np.all(np.abs(back - img) <= _rgbe_tol(img))
+
+
+def test_rgbe_matches_opencv(tmp_path, rng):
+    cv2 = pytest.importorskip("cv2")
+    img = (rng.uniform(0, 1, size=(16, 32, 3)) * 50).astype(np.float32)
+    ours = str(tmp_path / "ours.hdr")
+    write_hdr(ours, img)
+    via_cv = cv2.imread(ours, cv2.IMREAD_UNCHANGED)  # BGR
+    assert via_cv is not None
+    assert np.all(np.abs(via_cv[..., ::-1] - img) <= _rgbe_tol(img))
+
+    theirs = str(tmp_path / "cv.hdr")
+    cv2.imwrite(theirs, img[..., ::-1].copy())
+    back = read_hdr(theirs)
+    assert np.all(np.abs(back - img) <= _rgbe_tol(img))
+
+
+def test_exposure_lists():
+    train_t, test_t = get_exposure_lists()
+    assert len(train_t) == 600 and len(test_t) == 7
+    np.testing.assert_allclose(train_t[0], 0.125, rtol=1e-6)
+    np.testing.assert_allclose(train_t[-1], 8.0, rtol=1e-6)
+    np.testing.assert_allclose(test_t, 2.0 ** np.linspace(-3, 3, 7), rtol=1e-6)
+
+
+def test_dorf_parser(tmp_path):
+    # Synthesize the 6-line record format (reference utils.py:105-116).
+    k = 16
+    curves = make_synthetic_dorf(3, k)
+    lines = []
+    for i, c in enumerate(curves):
+        lines += [f"name{i}", "meta", "I", " ".join("0" for _ in range(k)),
+                  "B", " ".join(f"{v:.6f}" for v in c)]
+    path = tmp_path / "dorfCurves.txt"
+    path.write_text("\n".join(lines) + "\n")
+    train, test = load_dorf_curves(str(path), n_train=2)
+    assert train.shape == (2, k) and test.shape == (1, k)
+    np.testing.assert_allclose(train, curves[:2], atol=1e-6)
+
+
+def test_inverse_rf_identity():
+    rf = np.linspace(0, 1, 64).astype(np.float32)
+    np.testing.assert_allclose(inverse_rf(rf), rf, atol=1e-6)
+    # Inverting gamma 2 gives sqrt.
+    g = np.linspace(0, 1, 1024) ** 2.0
+    inv = inverse_rf(g.astype(np.float32))
+    np.testing.assert_allclose(inv, np.sqrt(np.linspace(0, 1, 1024)), atol=1e-2)
+
+
+def test_pipeline_parse_and_iterate(tmp_path, rng):
+    h, w = 8, 32
+    paths = []
+    for i in range(5):
+        img = rng.uniform(0, 1, size=(h, w, 3)).astype(np.float32)
+        p = str(tmp_path / f"{i}.tfrecord")
+        write_tfrecord(p, [{"image": img.tobytes(), "azimuth": 15.0,
+                            "elevation": float(i)}])
+        paths.append(p)
+    ds = PanoramaDataset(str(tmp_path), imshape=(h, w, 3), batch_size=2, seed=1)
+    assert len(ds) == 2
+    batches = list(ds)
+    assert len(batches) == 2
+    assert batches[0]["hdr"].shape == (2, h, w, 3)
+    # Mean normalization: per-sample mean == 0.5 (train.py:109-110).
+    means = batches[0]["hdr"].reshape(2, -1).mean(-1)
+    np.testing.assert_allclose(means, 0.5, rtol=1e-3)
+
+
+def _smooth_image(b=2, h=32, w=128):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([
+        0.5 + 0.4 * np.sin(2 * np.pi * xx / w) * np.cos(2 * np.pi * yy / h),
+        0.5 + 0.3 * np.cos(4 * np.pi * xx / w),
+        0.4 + 0.3 * (yy / h),
+    ], axis=-1)
+    return np.broadcast_to(img, (b, h, w, 3)).astype(np.float32).copy()
+
+
+def test_jpeg_simulate_quality_ordering():
+    x = _smooth_image()
+    xj = jnp.asarray(x)
+    hi = np.asarray(jpeg_simulate(xj, jnp.full((2,), 100.0)))
+    lo = np.asarray(jpeg_simulate(xj, jnp.full((2,), 30.0)))
+    err_hi = np.abs(hi - x).mean()
+    err_lo = np.abs(lo - x).mean()
+    assert err_hi < err_lo  # higher quality -> closer to the original
+    assert err_hi < 0.05
+    assert hi.min() >= 0.0 and hi.max() <= 1.0
+
+
+def test_quant_table_ijg_formula():
+    # Q=50 -> exact base table; Q=100 -> all ones.
+    t50 = np.asarray(quant_table(50.0, _Q_LUMA))
+    np.testing.assert_array_equal(t50, _Q_LUMA)
+    t100 = np.asarray(quant_table(100.0, _Q_LUMA))
+    np.testing.assert_array_equal(t100, np.ones((8, 8)))
+
+
+def test_jpeg_simulate_close_to_real_jpeg():
+    """Sanity anchor against a real libjpeg round-trip via PIL: the DCT
+    quantization model should land within a few gray levels on average."""
+    PIL = pytest.importorskip("PIL.Image")
+    x = (_smooth_image(1)[0] * 255).astype(np.uint8)
+    import io as _io
+
+    buf = _io.BytesIO()
+    PIL.fromarray(x).save(buf, "JPEG", quality=90)
+    real = np.asarray(PIL.open(buf)).astype(np.float32) / 255.0
+    sim = np.asarray(
+        jpeg_simulate(jnp.asarray(x[None].astype(np.float32) / 255.0),
+                      jnp.asarray([90.0]))
+    )[0]
+    x01 = x.astype(np.float32) / 255.0
+    # Both should deviate from the original by a similar amount.
+    err_real = np.abs(real - x01).mean()
+    err_sim = np.abs(sim - x01).mean()
+    assert abs(err_real - err_sim) < 0.02
+    # And the two reconstructions should broadly agree.
+    assert np.abs(real - sim).mean() < 0.05
+
+
+def test_degrade_batch_semantics(rng):
+    banks = DegradationBanks(
+        crfs=jnp.asarray(make_synthetic_dorf(8, 256)),
+        exposures=jnp.asarray(get_exposure_lists()[1]),
+    )
+    ds = synthetic_dataset(4, imshape=(32, 128, 3), batch_size=4)
+    batch = next(iter(ds))
+    hdr = jnp.asarray(batch["hdr"])
+    key = jax.random.PRNGKey(0)
+    hdr_t, ldr = jax.jit(
+        lambda k, h: degrade_batch(k, h, banks)
+    )(key, hdr)
+    assert hdr_t.shape == hdr.shape and ldr.shape == hdr.shape
+    assert float(jnp.min(hdr_t)) >= 0.0  # relu (train.py:75)
+    assert 0.0 <= float(jnp.min(ldr)) and float(jnp.max(ldr)) <= 1.0
+    # Deterministic under the same key, different under another.
+    hdr_t2, ldr2 = degrade_batch(key, hdr, banks)
+    np.testing.assert_allclose(np.asarray(ldr), np.asarray(ldr2), atol=1e-6)
+    _, ldr3 = degrade_batch(jax.random.PRNGKey(1), hdr, banks)
+    assert np.abs(np.asarray(ldr) - np.asarray(ldr3)).max() > 1e-4
+
+
+def test_jpeg_quality_ramp():
+    q = np.asarray(jpeg_quality_ramp(32))
+    assert q[0] == 90.0 and q[-1] == 100.0
+    expected = np.round(np.arange(32) / 31.0 * 10.0 + 90.0)
+    np.testing.assert_array_equal(q, expected)
