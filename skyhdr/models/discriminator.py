@@ -23,12 +23,15 @@ class Discriminator(nn.Module):
         x = Downsampling(256, 4, strides=2, apply_norm=True, name="d3")(x, train)
         x = Downsampling(512, 4, strides=1, apply_norm=True, name="d4")(x, train)
         # Keras Conv2D defaults: padding VALID, bias on, normal(0, 0.02)
-        # kernels (reference discriminator.py:38-39).
+        # kernels (reference discriminator.py:38-39). For panoramas smaller
+        # than 32x128 the 4x4 VALID window would be empty, so fall back to
+        # SAME there (reference only ever runs 32x128+).
+        padding = "VALID" if min(x.shape[1], x.shape[2]) >= 4 else "SAME"
         x = nn.Conv(
             1,
             (4, 4),
             strides=(1, 1),
-            padding="VALID",
+            padding=padding,
             kernel_init=nn.initializers.normal(stddev=0.02),
             name="out",
         )(x)

@@ -1,0 +1,437 @@
+"""Jitted train/eval steps for the GAN stage and the sun-pose pretrain stage.
+
+Orchestration parity with reference train.py / train_sun.py, with the three
+TPU-first deviations SURVEY.md §7 prescribes:
+  1. the LDR degradation runs inside the jitted step (no host py_function);
+  2. the vMF ground truth expands on device from the elevation scalar;
+  3. RNG is one threaded jax.random key.
+
+Update topology preserved exactly (train.py:382-415):
+  * ONE RMSprop update over generator+sun variables jointly from the total
+    generator loss (the pretrained sun net is fine-tuned, train.py:402-403);
+  * a separate RMSprop update for the discriminator;
+  * the generator's adversarial term uses a disc forward with FROZEN
+    BatchNorm statistics (training=False, train.py:302), while the disc
+    update uses batch statistics and refreshes the running averages on both
+    its real and fake forwards (train.py:360-361).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import freeze, unfreeze
+
+from skyhdr.config import Config
+from skyhdr.data.degradation import DegradationBanks, degrade_batch
+from skyhdr.models.discriminator import Discriminator
+from skyhdr.models.generator import Generator
+from skyhdr.models.gradcam import sunpose_with_cams
+from skyhdr.models.sunpose import SunPoseNet
+from skyhdr.models.vgg16 import perceptual_l1
+from skyhdr.ops.dog import dog_l1_loss
+from skyhdr.ops.geometry import sunpose_bins, vmf_pdf
+from skyhdr.ops.hdr import hdr_log_compression, hdr_log_decompression
+from skyhdr.train import losses
+
+
+class GanState(struct.PyTreeNode):
+    """SKY-stage state: generator + sun (jointly optimized) + discriminator.
+
+    Mirrors the reference's composite checkpoint contents
+    (train.py:208-215: epoch, gen/dis models, both optimizers; plus the SUN
+    checkpoint restored into the same process, train.py:223-230)."""
+
+    gen_vars: Any          # {'params', 'batch_stats'} (BN in SunRadNet)
+    sun_vars: Any          # {'params'}
+    disc_vars: Any         # {'params', 'batch_stats'}
+    opt_gen: optax.OptState
+    opt_disc: optax.OptState
+    step: jnp.ndarray
+    epoch: jnp.ndarray
+
+
+class SunState(struct.PyTreeNode):
+    """SUN-pretrain state (reference tf_utils.py:308-311)."""
+
+    sun_vars: Any
+    opt: optax.OptState
+    step: jnp.ndarray
+    epoch: jnp.ndarray
+
+
+def _rmsprop(lr: float) -> optax.GradientTransformation:
+    # Keras RMSprop defaults (train.py:201-202): rho=0.9, eps=1e-7.
+    return optax.rmsprop(lr, decay=0.9, eps=1e-7)
+
+
+def _adam(lr: float) -> optax.GradientTransformation:
+    # Keras Adam defaults (tf_utils.py:324).
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-7)
+
+
+def build_models(cfg: Config):
+    gen = Generator(cfg.model)
+    sun = SunPoseNet(cfg.model)
+    disc = Discriminator()
+    return gen, sun, disc
+
+
+def create_gan_state(cfg: Config, rng) -> GanState:
+    gen, sun, disc = build_models(cfg)
+    h, w, c = cfg.model.imshape
+    b = cfg.data.batch_size
+    x = jnp.zeros((b, h, w, c), jnp.float32)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    gen_vars = unfreeze(gen.init(k1, x))
+    sun_vars = unfreeze(sun.init(k2, x))
+    disc_vars = unfreeze(disc.init(k3, x, x, train=False))
+    opt_gen = _rmsprop(cfg.train.learning_rate).init(
+        (gen_vars["params"], sun_vars["params"])
+    )
+    opt_disc = _rmsprop(cfg.train.learning_rate).init(disc_vars["params"])
+    return GanState(
+        gen_vars=gen_vars, sun_vars=sun_vars, disc_vars=disc_vars,
+        opt_gen=opt_gen, opt_disc=opt_disc,
+        step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32),
+    )
+
+
+def create_sun_state(cfg: Config, rng) -> SunState:
+    sun = SunPoseNet(cfg.model)
+    h, w, c = cfg.model.imshape
+    x = jnp.zeros((cfg.data.batch_size, h, w, c), jnp.float32)
+    sun_vars = unfreeze(sun.init(rng, x))
+    opt = _adam(cfg.train.learning_rate).init(sun_vars["params"])
+    return SunState(sun_vars=sun_vars, opt=opt,
+                    step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32))
+
+
+def _sunpose_gt_from_elevation(cfg: Config, elevation):
+    """vMF GT on device; azimuth pinned to the center column
+    (train.py:32,112: loadLavalSkyDB rolled the sun there)."""
+    h, w = cfg.model.im_height, cfg.model.im_width
+    azimuth = w * 0.5 - 1.0
+    bins = sunpose_bins(h, w)
+    return vmf_pdf(jnp.full_like(elevation, azimuth), elevation, h, w,
+                   kappa=cfg.model.vmf_kappa, bins=bins)
+
+
+def generator_forward(cfg: Config, gen: Generator, sun: SunPoseNet,
+                      disc: Discriminator, gen_vars, sun_vars, disc_vars,
+                      ldr, hdr_t, sunpose_gt, vgg_weights, train: bool):
+    """The full generator-side graph + losses (reference train.py:239-349,
+    generator_in_step). Returns (total_gen_loss, aux dict)."""
+    thr = cfg.model.alpha_threshold
+    vdr = cfg.model.valid_dr
+
+    hdr_t_gamma = hdr_log_compression(hdr_t, vdr)
+
+    gen_params = {"params": gen_vars["params"],
+                  "batch_stats": gen_vars["batch_stats"]}
+
+    res_out = gen.apply(gen_params, ldr, method=Generator.encode)
+    sky_pred_gamma = gen.apply(gen_params, res_out, ldr,
+                               method=Generator.sky_decode)
+    sky_pred_lin = hdr_log_decompression(sky_pred_gamma, vdr)
+
+    # Sun pose + Grad-CAM attention (train.py:253-271). CAMs and alpha are
+    # gradient-stopped like the reference's stop_recording block.
+    sun_apply = lambda v, x, eps: sun.apply(v, x, eps)
+    sm, (cam1, cam2, cam3) = sunpose_with_cams(sun_apply, sun_vars, ldr,
+                                               sunpose_gt)
+    h, w = cfg.model.im_height, cfg.model.im_width
+    sunpose_pred = sm.reshape(-1, h, w, 1)
+
+    alpha = jnp.max(sky_pred_lin, axis=3)
+    alpha = jnp.minimum(1.0, jnp.maximum(0.0, alpha - 1.0 + thr) / thr)
+    alpha_c3 = jax.lax.stop_gradient(
+        jnp.broadcast_to(alpha[..., None], sky_pred_lin.shape)
+    )
+
+    # Sun radiance + sun decode (train.py:288-290). SunRadNet's BatchNorm
+    # refreshes running stats in training.
+    if train:
+        (sun_rad_lin, gamma, beta), gen_mut = gen.apply(
+            gen_params, ldr, cam1, cam2, cam3, sunpose_pred, True,
+            method=Generator.sun_rad_estimation, mutable=["batch_stats"],
+        )
+        new_gen_batch_stats = gen_mut["batch_stats"]
+    else:
+        sun_rad_lin, gamma, beta = gen.apply(
+            gen_params, ldr, cam1, cam2, cam3, sunpose_pred, False,
+            method=Generator.sun_rad_estimation,
+        )
+        new_gen_batch_stats = gen_vars["batch_stats"]
+
+    sun_rad_gamma = hdr_log_compression(sun_rad_lin, vdr)
+    sun_pred_gamma = gen.apply(gen_params, res_out, sun_rad_gamma,
+                               method=Generator.sun_decode)
+
+    # Alpha blend in gamma domain (train.py:293-299).
+    sky_pred_gamma = (1.0 - alpha_c3) * sky_pred_gamma
+    sky_pred_lin = hdr_log_decompression(sky_pred_gamma, vdr)
+    sun_pred_gamma = alpha_c3 * sun_pred_gamma
+    sun_pred_lin = hdr_log_decompression(sun_pred_gamma, vdr)
+    y_final_gamma = gen.apply(gen_params, sky_pred_gamma, sun_pred_gamma,
+                              method=Generator.blending)
+    y_final_lin = hdr_log_decompression(y_final_gamma, vdr)
+
+    # Adversarial forward with frozen disc BN stats (train.py:302).
+    disc_generated = disc.apply(
+        {"params": disc_vars["params"], "batch_stats": disc_vars["batch_stats"]},
+        ldr, y_final_lin, train=False,
+    )
+
+    # Losses (train.py:304-331).
+    sun_loss = losses.kl_divergence(sunpose_gt, sm)
+    perceptual = perceptual_l1(vgg_weights, y_final_gamma, hdr_t_gamma)
+    dog = dog_l1_loss(y_final_lin, hdr_t)
+    l1 = losses.l1_loss(y_final_lin, hdr_t)
+    adv = losses.lsgan_gen_loss(disc_generated)
+    total = (cfg.train.w_sun * sun_loss + cfg.train.w_dog * dog
+             + cfg.train.w_adv * adv + cfg.train.w_l1 * l1
+             + cfg.train.w_perceptual * perceptual)
+
+    aux = {
+        "y_final_gamma": y_final_gamma,
+        "y_final_lin": y_final_lin,
+        "sky_pred_lin": sky_pred_lin,
+        "sun_pred_lin": sun_pred_lin,
+        "alpha_c3": alpha_c3,
+        "sunpose_pred": sunpose_pred,
+        "cams": (cam1, cam2, cam3),
+        "sun_rad_lin": sun_rad_lin,
+        "gamma_max": jnp.max(gamma),
+        "beta_max": jnp.max(beta),
+        "new_gen_batch_stats": new_gen_batch_stats,
+        "losses": {
+            "gen_total": total, "l1": l1, "kl": sun_loss, "dog": dog,
+            "adv": adv, "perceptual": perceptual,
+        },
+    }
+    return total, aux
+
+
+def make_gan_train_step(cfg: Config, banks: DegradationBanks, vgg_weights):
+    """Build the jitted SKY train step: batch {hdr, elevation} + key ->
+    (new_state, metrics). Degradation, vMF GT, both model updates and the
+    BN-stat refreshes all live in one compiled graph."""
+    gen, sun, disc = build_models(cfg)
+    tx_gen = _rmsprop(cfg.train.learning_rate)
+    tx_disc = _rmsprop(cfg.train.learning_rate)
+
+    def step(state: GanState, batch, key):
+        sunpose_gt = _sunpose_gt_from_elevation(cfg, batch["elevation"])
+        hdr_t, ldr = degrade_batch(
+            key, batch["hdr"], banks,
+            jpeg_lo=cfg.data.jpeg_quality_lo, jpeg_hi=cfg.data.jpeg_quality_hi,
+            sigma_s_scale=cfg.data.sigma_s_scale,
+            sigma_c_scale=cfg.data.sigma_c_scale,
+            chroma_subsample=cfg.data.jpeg_chroma_subsample,
+        )
+
+        def gen_loss_fn(trainable):
+            gen_p, sun_p = trainable
+            gv = {"params": gen_p, "batch_stats": state.gen_vars["batch_stats"]}
+            sv = {"params": sun_p}
+            total, aux = generator_forward(
+                cfg, gen, sun, disc, gv, sv, state.disc_vars,
+                ldr, hdr_t, sunpose_gt, vgg_weights, train=True,
+            )
+            return total, aux
+
+        (gen_total, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            (state.gen_vars["params"], state.sun_vars["params"])
+        )
+        updates, new_opt_gen = tx_gen.update(grads, state.opt_gen)
+        new_gen_p, new_sun_p = optax.apply_updates(
+            (state.gen_vars["params"], state.sun_vars["params"]), updates
+        )
+
+        y_final_lin = jax.lax.stop_gradient(aux["y_final_lin"])
+
+        def disc_loss_fn(disc_p):
+            dv = {"params": disc_p, "batch_stats": state.disc_vars["batch_stats"]}
+            real, mut = disc.apply(dv, ldr, hdr_t, train=True,
+                                   mutable=["batch_stats"])
+            dv2 = {"params": disc_p, "batch_stats": mut["batch_stats"]}
+            generated, mut2 = disc.apply(dv2, ldr, y_final_lin, train=True,
+                                         mutable=["batch_stats"])
+            total, real_l, gen_l = losses.lsgan_disc_loss(real, generated)
+            return total, (mut2["batch_stats"], real_l, gen_l)
+
+        (disc_total, (new_disc_bs, real_l, gen_l)), dgrads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True
+        )(state.disc_vars["params"])
+        dupdates, new_opt_disc = tx_disc.update(dgrads, state.opt_disc)
+        new_disc_p = optax.apply_updates(state.disc_vars["params"], dupdates)
+
+        new_state = state.replace(
+            gen_vars={"params": new_gen_p,
+                      "batch_stats": aux["new_gen_batch_stats"]},
+            sun_vars={"params": new_sun_p},
+            disc_vars={"params": new_disc_p, "batch_stats": new_disc_bs},
+            opt_gen=new_opt_gen, opt_disc=new_opt_disc,
+            step=state.step + 1,
+        )
+        metrics = dict(aux["losses"])
+        metrics.update(disc_total=disc_total, disc_real=real_l,
+                       disc_generated=gen_l,
+                       g_out=aux["gamma_max"], b_out=aux["beta_max"])
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_gan_eval_step(cfg: Config, banks: DegradationBanks, vgg_weights):
+    """Test step (train.py:417-442): same losses, no updates, frozen stats."""
+    gen, sun, disc = build_models(cfg)
+
+    def step(state: GanState, batch, key):
+        sunpose_gt = _sunpose_gt_from_elevation(cfg, batch["elevation"])
+        hdr_t, ldr = degrade_batch(
+            key, batch["hdr"], banks,
+            jpeg_lo=cfg.data.jpeg_quality_lo, jpeg_hi=cfg.data.jpeg_quality_hi,
+            chroma_subsample=cfg.data.jpeg_chroma_subsample,
+        )
+        total, aux = generator_forward(
+            cfg, gen, sun, disc, state.gen_vars, state.sun_vars,
+            state.disc_vars, ldr, hdr_t, sunpose_gt, vgg_weights, train=False,
+        )
+        dv = {"params": state.disc_vars["params"],
+              "batch_stats": state.disc_vars["batch_stats"]}
+        real = disc.apply(dv, ldr, hdr_t, train=False)
+        generated = disc.apply(dv, ldr, aux["y_final_lin"], train=False)
+        disc_total, real_l, gen_l = losses.lsgan_disc_loss(real, generated)
+        metrics = dict(aux["losses"])
+        metrics.update(disc_total=disc_total, disc_real=real_l,
+                       disc_generated=gen_l,
+                       g_out=aux["gamma_max"], b_out=aux["beta_max"])
+        outputs = {k: aux[k] for k in
+                   ("y_final_lin", "sky_pred_lin", "sun_pred_lin", "alpha_c3",
+                    "sunpose_pred", "sun_rad_lin")}
+        return metrics, outputs
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# SUN pretraining (reference train_sun.py:220-302)
+# ---------------------------------------------------------------------------
+
+def _sun_losses(cfg: Config, sun: SunPoseNet, sun_vars, ldr, sunpose_gt):
+    sun_apply = lambda v, x, eps: sun.apply(v, x, eps)
+    sm, cams = sunpose_with_cams(sun_apply, sun_vars, ldr, sunpose_gt)
+    h, w = cfg.model.im_height, cfg.model.im_width
+    pred_img = sm.reshape(-1, h, w, 1)
+    gt_img = sunpose_gt.reshape(-1, h, w, 1)
+    kl = losses.kl_divergence(sunpose_gt, sm)
+    dog = dog_l1_loss(pred_img, gt_img)
+    total = kl + dog  # unweighted sum (train_sun.py:258)
+    return total, (kl, dog, pred_img, gt_img, cams)
+
+
+def make_sun_train_step(cfg: Config, banks: DegradationBanks):
+    sun = SunPoseNet(cfg.model)
+    tx = _adam(cfg.train.learning_rate)
+
+    def step(state: SunState, batch, key):
+        sunpose_gt = _sunpose_gt_from_elevation(cfg, batch["elevation"])
+        _, ldr = degrade_batch(key, batch["hdr"], banks,
+                               jpeg_lo=cfg.data.jpeg_quality_lo,
+                               jpeg_hi=cfg.data.jpeg_quality_hi,
+                               chroma_subsample=cfg.data.jpeg_chroma_subsample)
+
+        def loss_fn(params):
+            total, aux = _sun_losses(cfg, sun, {"params": params}, ldr,
+                                     sunpose_gt)
+            return total, aux
+
+        (total, (kl, dog, pred_img, gt_img, cams)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.sun_vars["params"])
+        )
+        updates, new_opt = tx.update(grads, state.opt)
+        new_params = optax.apply_updates(state.sun_vars["params"], updates)
+        new_state = state.replace(sun_vars={"params": new_params},
+                                  opt=new_opt, step=state.step + 1)
+        metrics = {"sun_total": total, "kl": kl, "dog": dog}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_sun_eval_step(cfg: Config, banks: DegradationBanks):
+    sun = SunPoseNet(cfg.model)
+
+    def step(state: SunState, batch, key):
+        sunpose_gt = _sunpose_gt_from_elevation(cfg, batch["elevation"])
+        _, ldr = degrade_batch(key, batch["hdr"], banks,
+                               jpeg_lo=cfg.data.jpeg_quality_lo,
+                               jpeg_hi=cfg.data.jpeg_quality_hi,
+                               chroma_subsample=cfg.data.jpeg_chroma_subsample)
+        total, (kl, dog, pred_img, gt_img, cams) = _sun_losses(
+            cfg, sun, state.sun_vars, ldr, sunpose_gt
+        )
+        return ({"sun_total": total, "kl": kl, "dog": dog},
+                {"pred": pred_img, "gt": gt_img, "cams": cams})
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Inference (reference inference.py:81-115)
+# ---------------------------------------------------------------------------
+
+def make_inference_fn(cfg: Config, jit: bool = True):
+    """LDR [b,h,w,3] in [0,1] -> HDR prediction dict. Models built ONCE and
+    closed over (the reference rebuilds + restores per image,
+    inference.py:50-79 — a perf bug SURVEY.md §3.3 says not to reproduce)."""
+    gen, sun, disc = build_models(cfg)
+    vdr = cfg.model.valid_dr
+    thr = cfg.model.alpha_threshold
+
+    def forward(gen_vars, sun_vars, ldr):
+        gv = {"params": gen_vars["params"],
+              "batch_stats": gen_vars["batch_stats"]}
+        res_out = gen.apply(gv, ldr, method=Generator.encode)
+        sky_pred_gamma = gen.apply(gv, res_out, ldr, method=Generator.sky_decode)
+        sky_pred_lin = hdr_log_decompression(sky_pred_gamma, vdr)
+
+        sun_apply = lambda v, x, eps: sun.apply(v, x, eps)
+        # y_c = max probability (inference.py:98).
+        sm, (cam1, cam2, cam3) = sunpose_with_cams(sun_apply, sun_vars, ldr, None)
+        h, w = cfg.model.im_height, cfg.model.im_width
+        sunpose_pred = sm.reshape(-1, h, w, 1)
+
+        alpha = jnp.max(sky_pred_lin, axis=3)
+        alpha = jnp.minimum(1.0, jnp.maximum(0.0, alpha - 1.0 + thr) / thr)
+        alpha_c3 = jnp.broadcast_to(alpha[..., None], sky_pred_lin.shape)
+
+        sun_rad_lin, gamma, beta = gen.apply(
+            gv, ldr, cam1, cam2, cam3, sunpose_pred, False,
+            method=Generator.sun_rad_estimation,
+        )
+        sun_rad_gamma = hdr_log_compression(sun_rad_lin, vdr)
+        sun_pred_gamma = gen.apply(gv, res_out, sun_rad_gamma,
+                                   method=Generator.sun_decode)
+
+        sky_pred_gamma = (1.0 - alpha_c3) * sky_pred_gamma
+        sun_pred_gamma = alpha_c3 * sun_pred_gamma
+        y_final_gamma = gen.apply(gv, sky_pred_gamma, sun_pred_gamma,
+                                  method=Generator.blending)
+        y_final_lin = hdr_log_decompression(y_final_gamma, vdr)
+        return {
+            "y_final_lin": y_final_lin,
+            "sky_pred_lin": hdr_log_decompression(sky_pred_gamma, vdr),
+            "sun_pred_lin": hdr_log_decompression(sun_pred_gamma, vdr),
+            "alpha": alpha_c3,
+            "sunpose_pred": sunpose_pred,
+        }
+
+    return jax.jit(forward) if jit else forward
