@@ -1,0 +1,114 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: 32x128 LDR->HDR inference throughput (panoramas/s) on one
+chip, against the measured reference TF-CPU baseline (see BASELINE.md and
+tools/measure_tf_baseline.py). Extra configs (train step, batch-1 latency,
+64x256) ride along in "extras".
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Measured on this machine with tools/measure_tf_baseline.py (reference
+# inference graph under @tf.function, TF CPU). See BASELINE.md.
+TF_CPU_BASELINE_INFER_32x128 = 26.05  # panoramas/s, batch 32
+
+
+def _time_fn(fn, *args, iters=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_inference(cfg, batch, iters=50):
+    from skyhdr.train.engine import create_gan_state, make_inference_fn
+
+    state = create_gan_state(
+        cfg.replace(data=cfg.data), jax.random.PRNGKey(0)
+    )
+    infer = make_inference_fn(cfg)
+    rng = np.random.default_rng(0)
+    ldr = jnp.asarray(rng.uniform(0, 1, size=(batch, cfg.model.im_height,
+                                              cfg.model.im_width, 3)
+                                  ).astype(np.float32))
+    dt = _time_fn(lambda x: infer(state.gen_vars, state.sun_vars, x)
+                  ["y_final_lin"], ldr, iters=iters)
+    return batch / dt, dt
+
+
+def bench_train_step(cfg, iters=20):
+    from skyhdr.data.degradation import DegradationBanks
+    from skyhdr.models.vgg16 import random_vgg16_weights
+    from skyhdr.train.engine import create_gan_state, make_gan_train_step
+    from skyhdr.utils.io import get_exposure_lists, make_synthetic_dorf
+
+    banks = DegradationBanks(
+        crfs=jnp.asarray(make_synthetic_dorf(175, 1024)),
+        exposures=jnp.asarray(get_exposure_lists()[0]),
+    )
+    step = make_gan_train_step(cfg, banks, random_vgg16_weights(), jit=False)
+    step = jax.jit(step)  # no donation: we reuse the same state per iter
+    state = create_gan_state(cfg, jax.random.PRNGKey(0))
+    b = cfg.data.batch_size
+    rng = np.random.default_rng(0)
+    batch = {
+        "hdr": jnp.asarray(rng.uniform(0, 2, size=(b, cfg.model.im_height,
+                                                   cfg.model.im_width, 3)
+                                       ).astype(np.float32)),
+        "elevation": jnp.asarray(np.linspace(4, 28, b).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(1)
+
+    def run(s, bt, k):
+        _, metrics = step(s, bt, k)
+        return metrics["gen_total"]
+
+    dt = _time_fn(run, state, batch, key, iters=iters, warmup=2)
+    return b / dt, dt
+
+
+def main():
+    from skyhdr.config import Config, DataConfig, ModelConfig
+
+    cfg = Config()
+
+    infer_tput, infer_dt = bench_inference(cfg, batch=32)
+    infer1_tput, infer1_dt = bench_inference(cfg, batch=1, iters=50)
+    train_tput, train_dt = bench_train_step(cfg)
+
+    cfg64 = Config(model=ModelConfig(im_height=64, im_width=256,
+                                     use_da_conv=True),
+                   data=DataConfig(batch_size=32))
+    da_tput, da_dt = bench_inference(cfg64, batch=32, iters=20)
+
+    vs = infer_tput / TF_CPU_BASELINE_INFER_32x128
+    result = {
+        "metric": "inference_throughput_32x128_b32",
+        "value": round(infer_tput, 2),
+        "unit": "panoramas/s",
+        "vs_baseline": round(vs, 2),
+        "extras": {
+            "inference_ms_b32": round(infer_dt * 1e3, 3),
+            "inference_b1_panoramas_per_s": round(infer1_tput, 2),
+            "inference_b1_ms": round(infer1_dt * 1e3, 3),
+            "train_step_panoramas_per_s_b32": round(train_tput, 2),
+            "train_step_ms_b32": round(train_dt * 1e3, 3),
+            "da_conv_64x256_infer_panoramas_per_s_b32": round(da_tput, 2),
+            "tf_cpu_baseline_infer_32x128_b32": TF_CPU_BASELINE_INFER_32x128,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

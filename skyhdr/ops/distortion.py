@@ -142,28 +142,38 @@ def gather_tables(h: int, w: int, kernel_size: int = 3, stride: int = 1,
 
 
 def deformable_conv2d(x, kernel, bias, *, kernel_size: int = 3, stride: int = 1,
-                      dilation_rate: int = 1, skydome: bool = True):
+                      dilation_rate: int = 1, skydome: bool = True,
+                      col_start=None, out_cols: int = None):
     """Distortion-aware conv of x [b, h, w, c] with kernel [k2*c, f].
 
     Functional core used by DAConv/DADeconv; jit-safe, all indices static.
+
+    col_start/out_cols restrict the computation to `out_cols` output columns
+    beginning at (possibly traced) column `col_start` — the hook used by
+    width-sharded spatial parallelism (skyhdr.parallel.spatial), where each
+    device holds the full gathered input but produces only its own shard of
+    output columns.
     """
     b, h, w, c = x.shape
     k2 = kernel_size * kernel_size
     t = gather_tables(h, w, kernel_size, stride, dilation_rate, skydome)
     h_out = t.y0.shape[0]
     f = kernel.shape[-1]
+    w_out = w if out_cols is None else out_cols
 
     xp = jnp.pad(x, ((0, 0), (t.pad, t.pad), (0, 0), (0, 0)))
-    j = np.arange(0, h_out * 0 + w, 1)  # output columns (w_out == w)
-    jcols = (np.arange(w)[None, :] * stride)  # [1, w]
+    jcols = np.arange(w_out)[None, :] * stride  # [1, w_out]
+    if col_start is not None:
+        jcols = jcols + col_start * stride  # may become traced
 
     kern = kernel.reshape(k2, c, f)
-    out = jnp.zeros((b, h_out, w, f), jnp.promote_types(x.dtype, jnp.float32))
+    out = jnp.zeros((b, h_out, w_out, f), jnp.promote_types(x.dtype, jnp.float32))
 
     for tap in range(k2):
-        # Static [h_out, w] index matrices for the four bilinear corners.
-        ymat0 = np.broadcast_to(t.y0[:, tap][:, None], (h_out, w))
-        ymat1 = np.broadcast_to(t.y1[:, tap][:, None], (h_out, w))
+        # [h_out, w_out] index matrices for the four bilinear corners
+        # (static unless col_start is traced).
+        ymat0 = jnp.broadcast_to(jnp.asarray(t.y0[:, tap])[:, None], (h_out, w_out))
+        ymat1 = jnp.broadcast_to(jnp.asarray(t.y1[:, tap])[:, None], (h_out, w_out))
         xmat0 = (jcols + t.cx0[:, tap][:, None]) % w
         xmat1 = (jcols + t.cx1[:, tap][:, None]) % w
 
@@ -172,8 +182,8 @@ def deformable_conv2d(x, kernel, bias, *, kernel_size: int = 3, stride: int = 1,
         g10 = xp[:, ymat1, xmat0, :]
         g11 = xp[:, ymat1, xmat1, :]
 
-        wy = t.wy[:, tap][None, :, None, None]
-        wx = t.wx[:, tap][None, :, None, None]
+        wy = jnp.asarray(t.wy[:, tap])[None, :, None, None]
+        wx = jnp.asarray(t.wx[:, tap])[None, :, None, None]
         sample = ((1 - wy) * (1 - wx) * g00 + (1 - wy) * wx * g01
                   + wy * (1 - wx) * g10 + wy * wx * g11)
         out = out + jnp.einsum(

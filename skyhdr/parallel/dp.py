@@ -1,0 +1,69 @@
+"""Data-parallel training: batch sharded over the `data` mesh axis, model
+state replicated. The step function itself is the single-device one
+(skyhdr.train.engine); jit + sharding annotations make XLA partition the
+batch dimension and insert the gradient all-reduce over ICI — no NCCL-style
+backend is hand-built, per the TPU recipe in SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from skyhdr.config import Config
+from skyhdr.data.degradation import DegradationBanks
+from skyhdr.train.engine import make_gan_train_step, make_sun_train_step
+
+
+def _shardings_for_batch(mesh: Mesh):
+    return {
+        "hdr": NamedSharding(mesh, P("data")),
+        "elevation": NamedSharding(mesh, P("data")),
+    }
+
+
+def make_parallel_gan_train_step(cfg: Config, banks: DegradationBanks,
+                                 vgg_weights, mesh: Mesh):
+    """Jitted GAN train step with the batch sharded over `data`.
+
+    State/params are replicated; per-device gradients are reduced by XLA.
+    Returns (step_fn, shard_batch) where shard_batch places a host batch
+    onto the mesh.
+    """
+    rep = NamedSharding(mesh, P())
+    batch_sh = _shardings_for_batch(mesh)
+
+    base = make_gan_train_step(cfg, banks, vgg_weights)
+    # Re-jit the underlying python step with explicit shardings.
+    raw_step = base.__wrapped__ if hasattr(base, "__wrapped__") else base
+
+    step = jax.jit(
+        raw_step,
+        in_shardings=(rep, batch_sh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+    def shard_batch(batch):
+        return {k: jax.device_put(v, batch_sh[k]) for k, v in batch.items()}
+
+    return step, shard_batch
+
+
+def make_parallel_sun_train_step(cfg: Config, banks: DegradationBanks,
+                                 mesh: Mesh):
+    rep = NamedSharding(mesh, P())
+    batch_sh = _shardings_for_batch(mesh)
+    base = make_sun_train_step(cfg, banks)
+    raw_step = base.__wrapped__ if hasattr(base, "__wrapped__") else base
+    step = jax.jit(
+        raw_step,
+        in_shardings=(rep, batch_sh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+    def shard_batch(batch):
+        return {k: jax.device_put(v, batch_sh[k]) for k, v in batch.items()}
+
+    return step, shard_batch

@@ -218,10 +218,13 @@ def generator_forward(cfg: Config, gen: Generator, sun: SunPoseNet,
     return total, aux
 
 
-def make_gan_train_step(cfg: Config, banks: DegradationBanks, vgg_weights):
+def make_gan_train_step(cfg: Config, banks: DegradationBanks, vgg_weights,
+                        jit: bool = True):
     """Build the jitted SKY train step: batch {hdr, elevation} + key ->
     (new_state, metrics). Degradation, vMF GT, both model updates and the
-    BN-stat refreshes all live in one compiled graph."""
+    BN-stat refreshes all live in one compiled graph. jit=False returns the
+    raw python step for callers that re-jit with explicit shardings
+    (skyhdr.parallel.dp)."""
     gen, sun, disc = build_models(cfg)
     tx_gen = _rmsprop(cfg.train.learning_rate)
     tx_disc = _rmsprop(cfg.train.learning_rate)
@@ -286,7 +289,7 @@ def make_gan_train_step(cfg: Config, banks: DegradationBanks, vgg_weights):
                        g_out=aux["gamma_max"], b_out=aux["beta_max"])
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)) if jit else step
 
 
 def make_gan_eval_step(cfg: Config, banks: DegradationBanks, vgg_weights):
@@ -337,7 +340,8 @@ def _sun_losses(cfg: Config, sun: SunPoseNet, sun_vars, ldr, sunpose_gt):
     return total, (kl, dog, pred_img, gt_img, cams)
 
 
-def make_sun_train_step(cfg: Config, banks: DegradationBanks):
+def make_sun_train_step(cfg: Config, banks: DegradationBanks,
+                        jit: bool = True):
     sun = SunPoseNet(cfg.model)
     tx = _adam(cfg.train.learning_rate)
 
@@ -363,7 +367,7 @@ def make_sun_train_step(cfg: Config, banks: DegradationBanks):
         metrics = {"sun_total": total, "kl": kl, "dog": dog}
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)) if jit else step
 
 
 def make_sun_eval_step(cfg: Config, banks: DegradationBanks):

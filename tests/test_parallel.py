@@ -1,0 +1,155 @@
+"""Multi-device tests on the virtual 8-CPU mesh: data-parallel training
+equivalence, ring halo-exchange convs, width-sharded deformable conv."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax import lax
+
+from skyhdr.config import Config, DataConfig, ModelConfig, TrainConfig
+from skyhdr.data.degradation import DegradationBanks
+from skyhdr.data.pipeline import synthetic_dataset
+from skyhdr.models.vgg16 import random_vgg16_weights
+from skyhdr.ops.distortion import deformable_conv2d
+from skyhdr.parallel.mesh import batch_sharding, make_mesh, replicated
+from skyhdr.parallel.dp import (
+    make_parallel_gan_train_step,
+    make_parallel_sun_train_step,
+)
+from skyhdr.train.engine import create_gan_state, create_sun_state, make_sun_train_step
+from skyhdr.utils.io import get_exposure_lists, make_synthetic_dorf
+
+
+def _banks():
+    return DegradationBanks(
+        crfs=jnp.asarray(make_synthetic_dorf(8, 256)),
+        exposures=jnp.asarray(get_exposure_lists()[1]),
+    )
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    mesh2 = make_mesh(width=2)
+    assert mesh2.devices.shape == (4, 2)
+    assert mesh2.axis_names == ("data", "width")
+
+
+def test_ring_conv_matches_cyclic_conv(rng):
+    from skyhdr.parallel.spatial import ring_conv2d
+
+    mesh = make_mesh(data=1, width=8)
+    x = rng.normal(size=(2, 8, 64, 3)).astype(np.float32)
+    kernel = rng.normal(size=(3, 3, 3, 5)).astype(np.float32) * 0.2
+    bias = rng.normal(size=(5,)).astype(np.float32)
+
+    got = np.asarray(ring_conv2d(jnp.asarray(x), jnp.asarray(kernel),
+                                 jnp.asarray(bias), mesh=mesh, padding="cyclic"))
+
+    # Single-device cyclic-SAME reference: wrap width, zero-pad height.
+    xw = np.concatenate([x[:, :, -1:], x, x[:, :, :1]], axis=2)
+    xp = np.pad(xw, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    expected = np.asarray(
+        lax.conv_general_dilated(
+            jnp.asarray(xp), jnp.asarray(kernel), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    ) + bias
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_ring_conv_zeros_matches_same_conv(rng):
+    from skyhdr.parallel.spatial import ring_conv2d
+
+    mesh = make_mesh(data=1, width=8)
+    x = rng.normal(size=(1, 8, 64, 3)).astype(np.float32)
+    kernel = rng.normal(size=(3, 3, 3, 4)).astype(np.float32) * 0.2
+
+    got = np.asarray(ring_conv2d(jnp.asarray(x), jnp.asarray(kernel),
+                                 jnp.zeros((4,)), mesh=mesh, padding="zeros"))
+    expected = np.asarray(
+        lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(kernel), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_ring_deformable_matches_single_device(rng):
+    from skyhdr.parallel.spatial import ring_deformable_conv2d
+
+    mesh = make_mesh(data=1, width=8)
+    x = rng.normal(size=(1, 8, 64, 3)).astype(np.float32)
+    kernel = rng.normal(size=(27, 4)).astype(np.float32) * 0.2
+    bias = rng.normal(size=(4,)).astype(np.float32)
+
+    got = np.asarray(
+        ring_deformable_conv2d(jnp.asarray(x), jnp.asarray(kernel),
+                               jnp.asarray(bias), mesh=mesh)
+    )
+    expected = np.asarray(
+        deformable_conv2d(jnp.asarray(x), jnp.asarray(kernel), jnp.asarray(bias))
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_data_parallel_sun_step_matches_single_device():
+    """Same batch, same key: the dp step over 8 devices must produce the
+    same loss and parameters as the single-device step (degradation, vMF
+    and updates are all inside the same global-semantics jit)."""
+    cfg = Config(model=ModelConfig(im_height=16, im_width=64),
+                 data=DataConfig(batch_size=8),
+                 train=TrainConfig(learning_rate=1e-3))
+    banks = _banks()
+    ds = synthetic_dataset(8, imshape=cfg.model.imshape, batch_size=8)
+    raw = next(iter(ds))
+    batch = {"hdr": jnp.asarray(raw["hdr"]),
+             "elevation": jnp.asarray(raw["elevation"])}
+    key = jax.random.PRNGKey(7)
+
+    single = make_sun_train_step(cfg, banks)
+    s0 = create_sun_state(cfg, jax.random.PRNGKey(0))
+    s1, m1 = single(s0, batch, key)
+
+    mesh = make_mesh()
+    pstep, shard_batch = make_parallel_sun_train_step(cfg, banks, mesh)
+    s0b = create_sun_state(cfg, jax.random.PRNGKey(0))
+    s2, m2 = pstep(s0b, shard_batch(batch), key)
+
+    np.testing.assert_allclose(float(m1["sun_total"]), float(m2["sun_total"]),
+                               rtol=1e-4)
+    # Parameter-level equality is NOT asserted: Adam's first step is
+    # sign-like (update ~ lr*g/|g|), so reduction-order float noise on
+    # near-zero gradients flips them by a full step. Functional equivalence
+    # is checked instead: a second step on the same batch must report a
+    # near-identical loss.
+    s1b, m1b = single(s1, batch, jax.random.PRNGKey(8))
+    s2b, m2b = pstep(s2, shard_batch(batch), jax.random.PRNGKey(8))
+    np.testing.assert_allclose(float(m1b["sun_total"]), float(m2b["sun_total"]),
+                               rtol=5e-2)
+
+
+def test_data_parallel_gan_step_runs():
+    cfg = Config(model=ModelConfig(im_height=16, im_width=64),
+                 data=DataConfig(batch_size=8),
+                 train=TrainConfig())
+    banks = _banks()
+    mesh = make_mesh()
+    step, shard_batch = make_parallel_gan_train_step(
+        cfg, banks, random_vgg16_weights(), mesh
+    )
+    state = create_gan_state(cfg, jax.random.PRNGKey(0))
+    ds = synthetic_dataset(8, imshape=cfg.model.imshape, batch_size=8)
+    raw = next(iter(ds))
+    batch = shard_batch({"hdr": jnp.asarray(raw["hdr"]),
+                         "elevation": jnp.asarray(raw["elevation"])})
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert bool(jnp.isfinite(v)), k
+    assert int(state2.step) == 1
