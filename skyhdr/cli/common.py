@@ -1,0 +1,88 @@
+"""Shared CLI plumbing: flags -> Config, bank loading, str2bool."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+
+from skyhdr.config import Config, DataConfig, ModelConfig, TrainConfig
+from skyhdr.data.degradation import DegradationBanks
+from skyhdr.utils.io import get_exposure_lists, load_dorf_curves, make_synthetic_dorf
+
+
+def str2bool(v) -> bool:
+    """reference utils.py:134-142."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def add_common_flags(parser: argparse.ArgumentParser):
+    """The overlapping flag set of reference train.py:531-543 /
+    train_sun.py:478-488."""
+    cwd = os.getcwd()
+    parser.add_argument("--dir", type=str, default=None,
+                        help="tfrecord dataset root (with train/ and test/)")
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--batchsize", type=int, default=32)
+    parser.add_argument("--epochs", type=int, default=1000)
+    parser.add_argument("--imheight", type=int, default=32)
+    parser.add_argument("--imwidth", type=int, default=128)
+    parser.add_argument("--dorf", type=str,
+                        default=os.path.join(cwd, "dorfCurves.txt"))
+    parser.add_argument("--vgg", type=str,
+                        default=os.path.join(cwd, "vgg16.npy"))
+    parser.add_argument("--da-conv", type=str2bool, default=False,
+                        help="use the distortion-aware equirect conv")
+    parser.add_argument("--workdir", type=str, default=cwd)
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+def config_from_args(args) -> Config:
+    return Config(
+        model=ModelConfig(im_height=args.imheight, im_width=args.imwidth,
+                          use_da_conv=getattr(args, "da_conv", False)),
+        data=DataConfig(batch_size=args.batchsize,
+                        dataset_dir=args.dir or os.path.join(
+                            args.workdir,
+                            f"dataset_{args.imwidth}_{args.imheight}/tfrecord")),
+        train=TrainConfig(learning_rate=args.lr, epochs=args.epochs,
+                          vgg_path=getattr(args, "vgg", None),
+                          seed=args.seed),
+    )
+
+
+def load_banks(cfg: Config, dorf_path: str, train: bool = True,
+               log=print) -> DegradationBanks:
+    """DoRF curves + exposure sweep; falls back to the synthetic CRF family
+    when dorfCurves.txt is absent (it is gitignored in the reference too)."""
+    train_t, test_t = get_exposure_lists(cfg.data.n_train_exposures,
+                                         cfg.data.n_test_exposures)
+    if dorf_path and os.path.exists(dorf_path):
+        train_crf, test_crf = load_dorf_curves(dorf_path)
+    else:
+        log(f"[skyhdr] {dorf_path!r} not found; using the synthetic CRF "
+            f"family (see skyhdr.utils.io.make_synthetic_dorf)")
+        crf = make_synthetic_dorf(201, 1024)
+        train_crf, test_crf = crf[:175], crf[175:]
+    return DegradationBanks(
+        crfs=jnp.asarray(train_crf if train else test_crf),
+        exposures=jnp.asarray(train_t if train else test_t),
+    )
+
+
+def load_vgg(path: str, log=print):
+    from skyhdr.models.vgg16 import load_vgg16_npy, random_vgg16_weights
+
+    if path and os.path.exists(path):
+        return load_vgg16_npy(path)
+    log(f"[skyhdr] {path!r} not found; using deterministic random frozen "
+        f"VGG features (perceptual loss still well-defined)")
+    return random_vgg16_weights()

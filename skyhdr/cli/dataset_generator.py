@@ -1,0 +1,37 @@
+"""Dataset generation (reference datasetGenerator.py): Laval HDR Sky DB ->
+resized sky-dome .hdr crops + CSV -> per-image GZIP TFRecords.
+
+Example:
+  python -m skyhdr.cli.dataset_generator --dir /path/to/LavalSkyDB \
+      --imheight 32 --imwidth 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from skyhdr.data.laval import extract_laval, make_tfrecords
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="generate the training dataset")
+    parser.add_argument("--dir", type=str, required=True,
+                        help="Laval Sky DB root (with envmap/ and csv_day/)")
+    parser.add_argument("--out", type=str, default=os.getcwd())
+    parser.add_argument("--imheight", type=int, default=32)
+    parser.add_argument("--imwidth", type=int, default=128)
+    # Hardcoded in the reference (datasetGenerator.py:13).
+    parser.add_argument("--img-bias", type=float, default=0.00955794)
+    parser.add_argument("--train-split", type=int, default=30000)
+    args = parser.parse_args(argv)
+
+    size_wh = (args.imwidth, args.imheight)
+    extract_laval(args.dir, args.out, size_wh, img_bias=args.img_bias,
+                  train_split_count=args.train_split)
+    out_root = make_tfrecords(args.out, size_wh)
+    print("TFRecords written under", out_root)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Batched eval pipeline: TFRecord decode -> reconstruct -> PSNR/si-RMSE/EMD
+over a test set (the BASELINE.json config 5 harness; metrics the IEEE paper
+reports but the reference repo ships no code for).
+
+Example:
+  python -m skyhdr.cli.evaluate --dir dataset_128_32/tfrecord/test
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from skyhdr.cli.common import add_common_flags, config_from_args, load_banks
+from skyhdr.data.degradation import degrade_batch
+from skyhdr.data.pipeline import PanoramaDataset
+from skyhdr.train.checkpoints import CheckpointManager
+from skyhdr.train.engine import create_gan_state, create_sun_state, make_inference_fn
+from skyhdr.train.evaluation import evaluate_batch
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="evaluate on a test set")
+    add_common_flags(parser)
+    parser.add_argument("--sky", type=str, default=None)
+    parser.add_argument("--sun", type=str, default=None)
+    parser.add_argument("--max-batches", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    cfg = config_from_args(args)
+    test_dir = args.dir or os.path.join(cfg.data.dataset_dir, "test")
+    ds = PanoramaDataset(test_dir, imshape=cfg.model.imshape,
+                         batch_size=cfg.data.batch_size, shuffle=False)
+    banks = load_banks(cfg, args.dorf, train=False)
+
+    state = create_gan_state(cfg, jax.random.PRNGKey(args.seed))
+    sky_dir = args.sky or os.path.join(args.workdir,
+                                       cfg.train.checkpoint_dir, "SKY")
+    if os.path.isdir(sky_dir):
+        restored = CheckpointManager(sky_dir).restore_latest(state)
+        if restored is not None:
+            state = restored
+    sun_dir = args.sun or os.path.join(args.workdir,
+                                       cfg.train.checkpoint_dir, "SUN")
+    if os.path.isdir(sun_dir):
+        sun_state = create_sun_state(cfg, jax.random.PRNGKey(args.seed))
+        restored = CheckpointManager(sun_dir).restore_latest(sun_state)
+        if restored is not None:
+            state = state.replace(sun_vars=restored.sun_vars)
+
+    infer = make_inference_fn(cfg)
+
+    @jax.jit
+    def eval_one(gen_vars, sun_vars, key, hdr):
+        hdr_t, ldr = degrade_batch(key, hdr, banks)
+        pred = infer(gen_vars, sun_vars, ldr)["y_final_lin"]
+        return evaluate_batch(pred, hdr_t)
+
+    key = jax.random.PRNGKey(args.seed)
+    sums, count = {}, 0
+    for i, batch in enumerate(ds):
+        if args.max_batches and i >= args.max_batches:
+            break
+        key, sub = jax.random.split(key)
+        metrics = eval_one(state.gen_vars, state.sun_vars, sub,
+                           jnp.asarray(batch["hdr"]))
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
+        count += batch["hdr"].shape[0]
+
+    result = {k: v / max(count, 1) for k, v in sums.items()}
+    result["images"] = count
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

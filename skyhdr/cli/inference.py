@@ -1,0 +1,90 @@
+"""Production inference (reference inference.py): LDR JPG/PNG panoramas ->
+reconstructed .hdr radiance maps.
+
+Unlike the reference — which rebuilds and restores both models for EVERY
+image (inference.py:50-79, flagged in SURVEY.md §3.3) — models are built and
+restored once and the jitted forward is reused across images.
+
+Example:
+  python -m skyhdr.cli.inference --indir ldr_images/ --outdir out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from skyhdr.cli.common import add_common_flags, config_from_args
+from skyhdr.train.checkpoints import CheckpointManager
+from skyhdr.train.engine import (create_gan_state, create_sun_state,
+                                 make_inference_fn)
+from skyhdr.utils.io import write_hdr
+
+
+def _imread01(path: str) -> np.ndarray:
+    """Read an 8-bit image to float RGB in [0, 1]."""
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        return img[..., ::-1].astype(np.float32) / 255.0
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"),
+                          np.float32) / 255.0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="LDR -> HDR inference")
+    add_common_flags(parser)
+    parser.add_argument("--indir", type=str, required=True)
+    parser.add_argument("--outdir", type=str, default="inference_out")
+    parser.add_argument("--sky", type=str, default=None)
+    parser.add_argument("--sun", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    cfg = config_from_args(args)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    state = create_gan_state(cfg, jax.random.PRNGKey(args.seed))
+    sky_dir = args.sky or os.path.join(args.workdir,
+                                       cfg.train.checkpoint_dir, "SKY")
+    if os.path.isdir(sky_dir):
+        restored = CheckpointManager(sky_dir).restore_latest(state)
+        if restored is not None:
+            state = restored
+            print("Latest SKY checkpoint restored")
+    sun_dir = args.sun or os.path.join(args.workdir,
+                                       cfg.train.checkpoint_dir, "SUN")
+    if os.path.isdir(sun_dir):
+        sun_state = create_sun_state(cfg, jax.random.PRNGKey(args.seed))
+        restored = CheckpointManager(sun_dir).restore_latest(sun_state)
+        if restored is not None:
+            state = state.replace(sun_vars=restored.sun_vars)
+            print("Latest SUN checkpoint restored")
+
+    infer = make_inference_fn(cfg)
+
+    paths = sorted(glob.glob(os.path.join(args.indir, "*.jpg"))
+                   + glob.glob(os.path.join(args.indir, "*.jpeg"))
+                   + glob.glob(os.path.join(args.indir, "*.png")))
+    assert paths, f"no input images under {args.indir}"
+
+    for path in paths:
+        ldr = _imread01(path)
+        out = infer(state.gen_vars, state.sun_vars, jnp.asarray(ldr)[None])
+        hdr = np.asarray(out["y_final_lin"][0])
+        name = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(args.outdir, name + ".hdr")
+        write_hdr(out_path, hdr)
+        print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Epoch driver: the reference's run() orchestration (train.py:444-525,
+train_sun.py:304-380) — per-epoch metric resets, train + test passes,
+TensorBoard scalars, checkpoint save every N epochs, restore-latest resume.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from skyhdr.config import Config
+from skyhdr.train.checkpoints import CheckpointManager
+from skyhdr.train.metrics import EventWriter, MeanMetrics
+from skyhdr.utils.dirs import create_new_dir, timestamp
+
+
+class TrainLoop:
+    """Drives (train_step, eval_step) over (train_ds, test_ds) for epochs.
+
+    The epoch counter lives in the checkpointed state (state.epoch), which —
+    unlike the reference's restarting Python loop counter (train.py:444 vs
+    ckpt.epoch, SURVEY.md §5) — makes resume exact.
+    """
+
+    def __init__(self, cfg: Config, name: str, state, train_step, eval_step,
+                 train_ds, test_ds, *, workdir: str = ".",
+                 log: Callable = print):
+        self.cfg = cfg
+        self.name = name
+        self.state = state
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.train_ds = train_ds
+        self.test_ds = test_ds
+        self.log = log
+
+        ckpt_dir = os.path.join(workdir, cfg.train.checkpoint_dir, name)
+        self.ckpt = CheckpointManager(ckpt_dir, cfg.train.ckpt_max_to_keep)
+        restored = self.ckpt.restore_latest(self.state)
+        if restored is not None:
+            self.state = restored
+            self.log(f"Latest {name} checkpoint restored "
+                     f"(epoch {int(self.state.epoch)})")
+
+        tb_root = create_new_dir(
+            os.path.join(workdir, cfg.train.tensorboard_dir, name), timestamp()
+        )
+        self.tb_train = EventWriter(os.path.join(tb_root, "train"))
+        self.tb_test = EventWriter(os.path.join(tb_root, "val"))
+        self.log(f"tensorboard --logdir={tb_root}")
+
+    def run(self, epochs: Optional[int] = None, rng_seed: int = 0):
+        epochs = epochs or self.cfg.train.epochs
+        key = jax.random.PRNGKey(rng_seed)
+        train_metrics = MeanMetrics()
+        test_metrics = MeanMetrics()
+
+        start_epoch = int(self.state.epoch)
+        for epoch in range(start_epoch + 1, epochs + 1):
+            t0 = time.perf_counter()
+            train_metrics.reset()
+            test_metrics.reset()
+
+            for batch in self.train_ds:
+                key, sub = jax.random.split(key)
+                self.state, metrics = self.train_step(self.state, batch, sub)
+                train_metrics.update(metrics)
+
+            for batch in self.test_ds:
+                key, sub = jax.random.split(key)
+                metrics, _ = self.eval_step(self.state, batch, sub)
+                test_metrics.update(metrics)
+
+            self.state = self.state.replace(
+                epoch=self.state.epoch * 0 + epoch
+            )
+            self.tb_train.scalars(train_metrics.result(), epoch)
+            self.tb_test.scalars(test_metrics.result(), epoch)
+
+            if epoch % self.cfg.train.ckpt_every_epochs == 0:
+                self.ckpt.save(epoch, self.state)
+                self.log(f"Saved {self.name} checkpoint for epoch {epoch}")
+
+            tr = train_metrics.result()
+            te = test_metrics.result()
+            self.log(f"Epoch {epoch}: train={_fmt(tr)} test={_fmt(te)} "
+                     f"elapsed={time.perf_counter() - t0:.1f}s")
+        return self.state
+
+
+def _fmt(metrics):
+    return "{" + ", ".join(f"{k}={v:.4g}" for k, v in sorted(metrics.items())
+                           if not k.startswith("_")) + "}"

@@ -1,0 +1,162 @@
+"""End-to-end integration: TFRecord dataset -> TrainLoop (train+eval+ckpt+TB)
+-> resume; TB events readable by stock TensorBoard; CLI smoke tests."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from skyhdr.config import Config, DataConfig, ModelConfig, TrainConfig
+from skyhdr.data.pipeline import PanoramaDataset
+from skyhdr.data.records import write_tfrecord
+from skyhdr.train.checkpoints import CheckpointManager
+from skyhdr.train.engine import (create_sun_state, make_sun_eval_step,
+                                 make_sun_train_step)
+from skyhdr.train.loop import TrainLoop
+from skyhdr.train.metrics import EventWriter, MeanMetrics
+from skyhdr.cli.common import load_banks
+
+H, W = 16, 64
+
+
+def _write_dataset(root, n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    for split in ("train", "test"):
+        d = os.path.join(root, split)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            img = (rng.uniform(0, 1, size=(H, W, 3)) ** 2 * 3).astype(np.float32)
+            write_tfrecord(os.path.join(d, f"{split}{i}.tfrecord"),
+                           [{"image": img.tobytes(), "azimuth": 31.0,
+                             "elevation": float(4 + i)}])
+    return root
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(model=ModelConfig(im_height=H, im_width=W),
+                  data=DataConfig(batch_size=2),
+                  train=TrainConfig(epochs=2, ckpt_every_epochs=1,
+                                    ckpt_max_to_keep=2))
+
+
+def test_mean_metrics():
+    m = MeanMetrics()
+    m.update({"a": 1.0})
+    m.update({"a": 3.0, "b": 2.0})
+    assert m.result() == {"a": 2.0, "b": 2.0}
+    m.reset()
+    assert m.result() == {}
+
+
+def test_event_writer_tensorboard_compat(tmp_path):
+    w = EventWriter(str(tmp_path))
+    w.scalar("loss", 1.5, 1)
+    w.scalar("loss", 0.5, 2)
+    w.flush()
+    w.close()
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    assert len(files) == 1
+
+    tf = pytest.importorskip("tensorflow")
+    events = []
+    for raw in tf.data.TFRecordDataset(files[0]):
+        ev = tf.compat.v1.Event()
+        ev.ParseFromString(raw.numpy())
+        events.append(ev)
+    assert events[0].file_version == "brain.Event:2"
+    scalars = [(e.step, e.summary.value[0].tag, e.summary.value[0].simple_value)
+               for e in events[1:]]
+    assert scalars == [(1, "loss", 1.5), (2, "loss", 0.5)]
+
+
+def test_checkpoint_roundtrip(tmp_path, cfg):
+    state = create_sun_state(cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    assert mgr.restore_latest(state) is None
+    mgr.save(1, state)
+    state2 = create_sun_state(cfg, jax.random.PRNGKey(9))  # different init
+    restored = mgr.restore_latest(state2)
+    assert restored is not None
+    a = jax.tree_util.tree_leaves(state.sun_vars["params"])
+    b = jax.tree_util.tree_leaves(restored.sun_vars["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    mgr.close()
+
+
+def test_train_loop_runs_and_resumes(tmp_path, cfg):
+    root = _write_dataset(str(tmp_path / "data"))
+    train_ds = PanoramaDataset(os.path.join(root, "train"), imshape=(H, W, 3),
+                               batch_size=2, shuffle=True)
+    test_ds = PanoramaDataset(os.path.join(root, "test"), imshape=(H, W, 3),
+                              batch_size=2, shuffle=False)
+    banks = load_banks(cfg, dorf_path=None, log=lambda *a: None)
+
+    state = create_sun_state(cfg, jax.random.PRNGKey(0))
+    loop = TrainLoop(cfg, "SUN", state,
+                     make_sun_train_step(cfg, banks),
+                     make_sun_eval_step(cfg, banks),
+                     train_ds, test_ds, workdir=str(tmp_path),
+                     log=lambda *a: None)
+    final = loop.run(epochs=2)
+    assert int(final.epoch) == 2
+    assert int(final.step) == 2 * len(train_ds)
+    ckpts = os.listdir(os.path.join(str(tmp_path), "checkpoints", "SUN"))
+    assert len(ckpts) >= 2
+
+    # Resume: a fresh loop restores epoch 2 and does nothing more for
+    # epochs=2.
+    state_fresh = create_sun_state(cfg, jax.random.PRNGKey(5))
+    loop2 = TrainLoop(cfg, "SUN", state_fresh,
+                      make_sun_train_step(cfg, banks),
+                      make_sun_eval_step(cfg, banks),
+                      train_ds, test_ds, workdir=str(tmp_path),
+                      log=lambda *a: None)
+    assert int(loop2.state.epoch) == 2
+    resumed = loop2.run(epochs=2)
+    assert int(resumed.step) == int(final.step)
+
+
+def test_cli_inference_smoke(tmp_path):
+    PIL = pytest.importorskip("PIL.Image")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 1, size=(H, W, 3)) * 255).astype(np.uint8)
+    PIL.fromarray(img).save(str(indir / "x.jpg"))
+
+    from skyhdr.cli.inference import main as infer_main
+
+    outdir = tmp_path / "out"
+    infer_main(["--indir", str(indir), "--outdir", str(outdir),
+                "--imheight", str(H), "--imwidth", str(W),
+                "--workdir", str(tmp_path)])
+    outs = list(outdir.glob("*.hdr"))
+    assert len(outs) == 1
+    from skyhdr.utils.io import read_hdr
+
+    hdr = read_hdr(str(outs[0]))
+    assert hdr.shape == (H, W, 3)
+    assert np.isfinite(hdr).all()
+
+
+def test_cli_evaluate_smoke(tmp_path):
+    root = _write_dataset(str(tmp_path / "data"))
+    from skyhdr.cli.evaluate import main as eval_main
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eval_main(["--dir", os.path.join(root, "test"),
+                   "--imheight", str(H), "--imwidth", str(W),
+                   "--batchsize", "2", "--workdir", str(tmp_path),
+                   "--max-batches", "1"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["images"] == 2
+    assert np.isfinite(out["psnr"]) and np.isfinite(out["si_rmse"])
