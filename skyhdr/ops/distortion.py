@@ -32,6 +32,7 @@ import functools
 from typing import NamedTuple, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -169,23 +170,33 @@ def deformable_conv2d(x, kernel, bias, *, kernel_size: int = 3, stride: int = 1,
     kern = kernel.reshape(k2, c, f)
     out = jnp.zeros((b, h_out, w_out, f), jnp.promote_types(x.dtype, jnp.float32))
 
+    # Bilinear factorization: with x1 = x0+1 (mod w) and per-row-constant
+    # shifts, the four corner gathers collapse to
+    #   rowY  = (1-wy)*rows[y0] + wy*rows[y1]          (two row-takes)
+    #   g0    = rowY[(j + cx0) mod w]                  (ONE 2-D gather)
+    #   g1    = roll(g0, -1, axis=width)               (static roll)
+    #   sample= (1-wx)*g0 + wx*g1
+    # i.e. one expensive gather per tap instead of four.
     for tap in range(k2):
-        # [h_out, w_out] index matrices for the four bilinear corners
-        # (static unless col_start is traced).
-        ymat0 = jnp.broadcast_to(jnp.asarray(t.y0[:, tap])[:, None], (h_out, w_out))
-        ymat1 = jnp.broadcast_to(jnp.asarray(t.y1[:, tap])[:, None], (h_out, w_out))
-        xmat0 = (jcols + t.cx0[:, tap][:, None]) % w
-        xmat1 = (jcols + t.cx1[:, tap][:, None]) % w
-
-        g00 = xp[:, ymat0, xmat0, :]
-        g01 = xp[:, ymat0, xmat1, :]
-        g10 = xp[:, ymat1, xmat0, :]
-        g11 = xp[:, ymat1, xmat1, :]
-
         wy = jnp.asarray(t.wy[:, tap])[None, :, None, None]
         wx = jnp.asarray(t.wx[:, tap])[None, :, None, None]
-        sample = ((1 - wy) * (1 - wx) * g00 + (1 - wy) * wx * g01
-                  + wy * (1 - wx) * g10 + wy * wx * g11)
+        row0 = jnp.take(xp, jnp.asarray(t.y0[:, tap]), axis=1)
+        row1 = jnp.take(xp, jnp.asarray(t.y1[:, tap]), axis=1)
+        row_y = (1 - wy) * row0 + wy * row1  # [b, h_out, w, c]
+
+        xmat0 = (jcols + t.cx0[:, tap][:, None]) % w  # [h_out, w_out]
+        imat = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (h_out, w_out), 0),
+            (h_out, w_out),
+        )
+        g0 = row_y[:, imat, xmat0, :]
+        g1 = jnp.roll(g0, -1, axis=2) if out_cols is None else None
+        if g1 is None:
+            # Column-restricted mode: the +1 neighbor may live outside this
+            # shard's columns, so gather it explicitly.
+            xmat1 = (jcols + 1 + t.cx0[:, tap][:, None]) % w
+            g1 = row_y[:, imat, xmat1, :]
+        sample = (1 - wx) * g0 + wx * g1
         out = out + jnp.einsum(
             "bhwc,cf->bhwf", sample, kern[tap],
             preferred_element_type=jnp.float32,

@@ -1,0 +1,62 @@
+"""Micro-benchmark of distortion-aware conv variants on the current device.
+
+Usage: python tools/bench_daconv.py [--b 32] [--h 16] [--w 64] [--c 128] [--f 128]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, iters=30):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=32)
+    ap.add_argument("--h", type=int, default=16)
+    ap.add_argument("--w", type=int, default=64)
+    ap.add_argument("--c", type=int, default=128)
+    ap.add_argument("--f", type=int, default=128)
+    ap.add_argument("--dtype", type=str, default="float32")
+    args = ap.parse_args()
+
+    from skyhdr.ops.distortion import deformable_conv2d
+
+    dt = jnp.dtype(args.dtype)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(args.b, args.h, args.w, args.c)), dt)
+    k = jnp.asarray(rng.normal(size=(9 * args.c, args.f)) * 0.05, dt)
+    bias = jnp.zeros((args.f,), dt)
+
+    f_ref = jax.jit(lambda xx: deformable_conv2d(xx, k, bias))
+    t = timeit(f_ref, x)
+    flops = 2 * args.b * args.h * args.w * 9 * args.c * args.f
+    print(f"deformable_conv2d: {t*1e3:.3f} ms  "
+          f"({flops/t/1e12:.2f} TF/s)  shape {x.shape}->{args.f}")
+
+    # Plain conv of the same FLOPs for comparison.
+    kc = jnp.asarray(rng.normal(size=(3, 3, args.c, args.f)) * 0.05, dt)
+    f_conv = jax.jit(lambda xx: jax.lax.conv_general_dilated(
+        xx, kc, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    t2 = timeit(f_conv, x)
+    print(f"plain conv2d     : {t2*1e3:.3f} ms  ({flops/t2/1e12:.2f} TF/s)")
+    print(f"DA/plain ratio   : {t/t2:.1f}x")
+
+
+if __name__ == "__main__":
+    main()
