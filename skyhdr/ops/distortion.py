@@ -206,6 +206,26 @@ def deformable_conv2d(x, kernel, bias, *, kernel_size: int = 3, stride: int = 1,
     return out.astype(x.dtype)
 
 
+def _dispatch_da_conv(x, kernel, bias, *, kernel_size, stride, dilation_rate,
+                      skydome, backend: str = "auto"):
+    """Select the execution path: 'xla', 'pallas', or 'auto' (Pallas on TPU
+    when the image block fits VMEM, XLA otherwise)."""
+    if backend == "pallas" or (backend == "auto"
+                               and jax.default_backend() != "cpu"):
+        from skyhdr.ops.pallas.deform_conv import (deformable_conv2d_pallas,
+                                                   pallas_supported)
+
+        if backend == "pallas" or pallas_supported(x.shape, kernel_size, stride):
+            return deformable_conv2d_pallas(
+                x, kernel, bias, kernel_size=kernel_size, stride=stride,
+                dilation_rate=dilation_rate, skydome=skydome,
+            )
+    return deformable_conv2d(
+        x, kernel, bias, kernel_size=kernel_size, stride=stride,
+        dilation_rate=dilation_rate, skydome=skydome,
+    )
+
+
 class DAConv(nn.Module):
     """Distortion-aware conv layer (reference distortion_aware_ops.py:5-123).
 
@@ -217,6 +237,7 @@ class DAConv(nn.Module):
     strides: int = 1
     dilation_rate: int = 1
     skydome: bool = True
+    backend: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -226,10 +247,11 @@ class DAConv(nn.Module):
             "kernel", nn.initializers.glorot_uniform(), (k2 * c, self.filters)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.filters,))
-        return deformable_conv2d(
+        return _dispatch_da_conv(
             x, kernel, bias,
             kernel_size=self.kernel_size, stride=self.strides,
             dilation_rate=self.dilation_rate, skydome=self.skydome,
+            backend=self.backend,
         )
 
 
@@ -241,6 +263,7 @@ class DADeconv(nn.Module):
     kernel_size: int = 3
     dilation_rate: int = 1
     skydome: bool = True
+    backend: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -253,8 +276,9 @@ class DADeconv(nn.Module):
             "kernel", nn.initializers.glorot_uniform(), (k2 * c, self.filters)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.filters,))
-        return deformable_conv2d(
+        return _dispatch_da_conv(
             x, kernel, bias,
             kernel_size=self.kernel_size, stride=1,
             dilation_rate=self.dilation_rate, skydome=self.skydome,
+            backend=self.backend,
         )
