@@ -113,3 +113,57 @@ def leaky_relu_01(x):
 def maxpool2(x):
     """2x2 max pool, stride 2, SAME (reference ops.py:287-300)."""
     return nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+
+
+def avgpool2(x, kernel: int = 2):
+    """Average pool (reference ops.py:302-315; unused by the active models,
+    kept for op-library parity)."""
+    return nn.avg_pool(x, (kernel, kernel), strides=(kernel, kernel),
+                       padding="SAME")
+
+
+class FC2D(nn.Module):
+    """Flatten -> Dense -> [b, 1, 1, fc_dim] (reference ops.py:128-171)."""
+
+    fc_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        flat = x.reshape((x.shape[0], -1))
+        y = nn.Dense(self.fc_dim,
+                     kernel_init=nn.initializers.glorot_uniform())(flat)
+        return y.reshape((-1, 1, 1, self.fc_dim))
+
+
+class DFC2D(nn.Module):
+    """De-fully-connected: [b, 1, 1, d] -> Dense -> [b, h, w, c]
+    (reference ops.py:173-230)."""
+
+    out_height: int
+    out_width: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        flat = x.reshape((x.shape[0], -1))
+        y = nn.Dense(self.out_height * self.out_width * self.out_channels,
+                     kernel_init=nn.initializers.glorot_uniform())(flat)
+        return y.reshape((-1, self.out_height, self.out_width,
+                          self.out_channels))
+
+
+class BatchNorm(nn.Module):
+    """Manual BN with running stats (reference ops.py:232-285; the active
+    models use Keras BN via Downsampling — this mirrors the hand-rolled
+    variant with decay=0.9, eps=1e-5)."""
+
+    decay: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.decay,
+            epsilon=self.epsilon,
+        )(x)

@@ -64,6 +64,23 @@ def sunpose_bins(h: int, w: int) -> np.ndarray:
     return np.stack([x_u, y_u, z_u], axis=-1).astype(np.float32)
 
 
+def positional_encoding(x, with_r: bool = False):
+    """Coord-conv positional channels (reference tf_utils.py:131-150 —
+    defined there but uncalled; kept as a usable op): append normalized
+    (x, y[, r]) grids to [b, h, w, c]."""
+    b, h, w, _ = x.shape
+    wr = jnp.linspace(-1.0, 1.0, w)
+    hr = jnp.linspace(-1.0, 1.0, h)
+    gx, gy = jnp.meshgrid(wr, hr)
+    coords = [gx[None, :, :, None], gy[None, :, :, None]]
+    if with_r:
+        r = jnp.sqrt(jnp.square(gx - w * 0.5) + jnp.square(gy - h * 0.5))
+        coords.append(r[None, :, :, None])
+    grid = jnp.concatenate(coords, axis=-1)
+    grid = jnp.broadcast_to(grid, (b, h, w, grid.shape[-1])).astype(x.dtype)
+    return jnp.concatenate([x, grid], axis=-1)
+
+
 def vmf_pdf(x, y, h: int, w: int, kappa: float = 80.0, bins=None):
     """Discrete von Mises-Fisher PDF over the h*w sky bins for a sun at
     pixel (x, y). Mirrors reference train.py:42-52; the per-bin dot products
