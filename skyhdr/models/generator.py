@@ -23,12 +23,16 @@ from skyhdr.ops.resize import resize_bilinear
 from skyhdr.ops.distortion import DAConv, DADeconv
 
 
+def _dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
 def _conv(cfg: ModelConfig, features: int, kernel: int, strides: int = 1, name=None):
     """Plain conv or distortion-aware conv per config (generator.py:13-14)."""
     if cfg.use_da_conv and kernel == cfg.da_kernel_size and strides == 1:
         return DAConv(features, kernel_size=kernel,
                       dilation_rate=cfg.dilation_rate, name=name)
-    return conv(features, kernel, strides, name=name)
+    return conv(features, kernel, strides, name=name, dtype=_dtype(cfg))
 
 
 class ResBlock(nn.Module):
@@ -55,7 +59,8 @@ def _deconv(cfg: ModelConfig, features: int, out_hw, kernel: int = 3, name=None)
     if cfg.use_da_conv and kernel == cfg.da_kernel_size:
         return DADeconv(features, out_hw=tuple(out_hw), kernel_size=kernel,
                         dilation_rate=cfg.dilation_rate, name=name)
-    return ResizeDeconv(features, tuple(out_hw), kernel, name=name)
+    return ResizeDeconv(features, tuple(out_hw), kernel, name=name,
+                        dtype=_dtype(cfg))
 
 
 class Generator(nn.Module):
@@ -95,8 +100,10 @@ class Generator(nn.Module):
         self.norm2_u = InstanceNorm()
         self.conv1_u = conv(cfg.channels, 7, 1, name="conv1_u")
 
-        # Sun-radiance head (generator.py:90).
-        self.sun = SunRadNet(clip_value=cfg.sun_rad_clip)
+        # Sun-radiance head (generator.py:90). Its conv trunk follows the
+        # compute dtype; the Dirac-delta radiance math itself is pinned to
+        # f32 inside SunRadNet (values up to 3e4).
+        self.sun = SunRadNet(clip_value=cfg.sun_rad_clip, dtype=_dtype(cfg))
 
     def encode(self, x):
         """conv x3 + residual trunk (reference generator.py:92-108)."""

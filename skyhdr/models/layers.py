@@ -44,8 +44,10 @@ class InstanceNorm(nn.Module):
 
 
 def conv(features: int, kernel: int, strides: int = 1, *, name=None,
-         use_bias: bool = True, init_scale: str = "glorot"):
-    """SAME-padded conv with the reference's initializers."""
+         use_bias: bool = True, init_scale: str = "glorot", dtype=None):
+    """SAME-padded conv with the reference's initializers. `dtype` is the
+    computation dtype (bf16 on TPU when ModelConfig.compute_dtype says so);
+    params stay float32."""
     if init_scale == "glorot":
         kinit = nn.initializers.glorot_uniform()
     else:  # GAN downsampling convs: normal(0, 0.02) (discriminator.py:12)
@@ -57,6 +59,7 @@ def conv(features: int, kernel: int, strides: int = 1, *, name=None,
         padding="SAME",
         use_bias=use_bias,
         kernel_init=kinit,
+        dtype=dtype,
         name=name,
     )
 
@@ -69,11 +72,13 @@ class ResizeDeconv(nn.Module):
     features: int
     out_hw: Tuple[int, int]
     kernel: int = 3
+    dtype: any = None
 
     @nn.compact
     def __call__(self, x):
         x = resize_bilinear(x, self.out_hw)
-        return conv(self.features, self.kernel, name="conv")(x)
+        return conv(self.features, self.kernel, name="conv",
+                    dtype=self.dtype)(x)
 
 
 class Downsampling(nn.Module):
@@ -90,16 +95,19 @@ class Downsampling(nn.Module):
     kernel: int = 4
     strides: int = 2
     apply_norm: bool = True
+    dtype: any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = conv(self.features, self.kernel, self.strides,
-                 use_bias=False, init_scale="gan", name="conv")(x)
+                 use_bias=False, init_scale="gan", name="conv",
+                 dtype=self.dtype)(x)
         if self.apply_norm:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.99,
                 epsilon=1e-3,
+                dtype=self.dtype,
                 name="bn",
             )(x)
         return nn.leaky_relu(x, 0.3)

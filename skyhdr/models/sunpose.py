@@ -29,11 +29,13 @@ class SunPoseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        dt = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None)
+
         def _conv(name):
             if (self.cfg.use_da_conv and self.kernel == self.cfg.da_kernel_size):
                 return DAConv(self.features, kernel_size=self.kernel,
                               dilation_rate=self.cfg.dilation_rate, name=name)
-            return conv(self.features, self.kernel, name=name)
+            return conv(self.features, self.kernel, name=name, dtype=dt)
 
         x = nn.relu(InstanceNorm(name="norm1")(_conv("conv1")(x)))
         x = nn.relu(InstanceNorm(name="norm2")(_conv("conv2")(x)))
@@ -68,9 +70,11 @@ class SunPoseNet(nn.Module):
             a3 = a3 + eps[2]
         p3 = maxpool2(a3)
 
+        dt = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None)
         flat = p3.reshape((p3.shape[0], -1))
-        y = nn.relu(nn.Dense(fc_dim, name="fc1")(flat))
-        y = nn.relu(nn.Dense(fc_dim, name="fc2")(y))
+        y = nn.relu(nn.Dense(fc_dim, dtype=dt, name="fc1")(flat))
+        y = nn.relu(nn.Dense(fc_dim, dtype=dt, name="fc2")(y))
+        y = y.astype(jnp.float32)  # softmax over 4096 bins stays f32
         # Softmax over non-negative logits, as the reference applies softmax
         # after a relu (sunpose_net.py:68-70).
         sm = nn.softmax(y, axis=-1)

@@ -18,15 +18,18 @@ from skyhdr.models.layers import Downsampling
 class SunRadNet(nn.Module):
     epsilon: float = 1e-5
     clip_value: float = 30000.0
+    dtype: any = None
 
     @nn.compact
     def __call__(self, x, actv_map, train: bool = True):
         """x: normalized sun-pose PDF [b, h, w, 1]; actv_map: concat of LDR
         and CAMs [b, h, w, 6]. Returns (radiance [b,h,w,1], gamma, beta)."""
-        d = Downsampling(64, 4, strides=2, apply_norm=False, name="d1")(actv_map, train)
-        d = Downsampling(128, 4, strides=2, apply_norm=True, name="d2")(d, train)
-        d = Downsampling(256, 4, strides=2, apply_norm=True, name="d3")(d, train)
-        d = Downsampling(512, 4, strides=1, apply_norm=True, name="d4")(d, train)
+        dt = self.dtype
+        d = Downsampling(64, 4, strides=2, apply_norm=False, dtype=dt, name="d1")(actv_map, train)
+        d = Downsampling(128, 4, strides=2, apply_norm=True, dtype=dt, name="d2")(d, train)
+        d = Downsampling(256, 4, strides=2, apply_norm=True, dtype=dt, name="d3")(d, train)
+        d = Downsampling(512, 4, strides=1, apply_norm=True, dtype=dt, name="d4")(d, train)
+        d = d.astype(jnp.float32)
 
         flat = d.reshape((d.shape[0], -1))
         gamma = nn.Dense(1, name="gamma")(flat)
