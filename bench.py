@@ -7,11 +7,16 @@ tools/measure_tf_baseline.py). Extra configs (train step, batch-1 latency,
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _log(*args):
+    print("[bench]", *args, file=sys.stderr, flush=True)
 
 # Measured on this machine with tools/measure_tf_baseline.py (reference
 # inference graph under @tf.function, TF CPU). See BASELINE.md.
@@ -81,14 +86,22 @@ def main():
 
     cfg = Config()
 
+    _log("inference 32x128 b32 ...")
     infer_tput, infer_dt = bench_inference(cfg, batch=32)
+    _log(f"  {infer_tput:.1f} pano/s")
+    _log("inference 32x128 b1 ...")
     infer1_tput, infer1_dt = bench_inference(cfg, batch=1, iters=50)
+    _log(f"  {infer1_tput:.1f} pano/s")
+    _log("train step 32x128 b32 ...")
     train_tput, train_dt = bench_train_step(cfg)
+    _log(f"  {train_tput:.1f} pano/s")
 
     cfg64 = Config(model=ModelConfig(im_height=64, im_width=256,
                                      use_da_conv=True),
                    data=DataConfig(batch_size=32))
+    _log("DA-conv inference 64x256 b32 ...")
     da_tput, da_dt = bench_inference(cfg64, batch=32, iters=20)
+    _log(f"  {da_tput:.1f} pano/s")
 
     vs = infer_tput / TF_CPU_BASELINE_INFER_32x128
     result = {
