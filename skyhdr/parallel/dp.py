@@ -15,23 +15,27 @@ from skyhdr.data.degradation import DegradationBanks
 from skyhdr.train.engine import make_gan_train_step, make_sun_train_step
 
 
-def _shardings_for_batch(mesh: Mesh):
+def _shardings_for_batch(mesh: Mesh, shard_width: bool = False):
+    hdr_spec = (P("data", None, "width", None) if shard_width else P("data"))
     return {
-        "hdr": NamedSharding(mesh, P("data")),
+        "hdr": NamedSharding(mesh, hdr_spec),
         "elevation": NamedSharding(mesh, P("data")),
     }
 
 
 def make_parallel_gan_train_step(cfg: Config, banks: DegradationBanks,
-                                 vgg_weights, mesh: Mesh):
-    """Jitted GAN train step with the batch sharded over `data`.
+                                 vgg_weights, mesh: Mesh,
+                                 shard_width: bool = False):
+    """Jitted GAN train step with the batch sharded over `data` (and the
+    panorama width over `width` when shard_width=True — GSPMD spatial
+    partitioning with automatic halo exchange for the convs).
 
     State/params are replicated; per-device gradients are reduced by XLA.
     Returns (step_fn, shard_batch) where shard_batch places a host batch
     onto the mesh.
     """
     rep = NamedSharding(mesh, P())
-    batch_sh = _shardings_for_batch(mesh)
+    batch_sh = _shardings_for_batch(mesh, shard_width)
 
     base = make_gan_train_step(cfg, banks, vgg_weights)
     # Re-jit the underlying python step with explicit shardings.
