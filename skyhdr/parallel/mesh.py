@@ -15,6 +15,23 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (jax.distributed). No-op when single-process.
+
+    The reference has no multi-node story at all (SURVEY.md §2.3); on TPU
+    pods this one call makes jax.devices() span all hosts and every
+    mesh/collective in this package work unchanged.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
 def make_mesh(data: int = 0, width: int = 1, devices=None) -> Mesh:
     """Create a (data, width) mesh. data=0 means 'all remaining devices'."""
     devices = list(devices if devices is not None else jax.devices())

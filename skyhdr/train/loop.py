@@ -28,7 +28,7 @@ class TrainLoop:
 
     def __init__(self, cfg: Config, name: str, state, train_step, eval_step,
                  train_ds, test_ds, *, workdir: str = ".",
-                 log: Callable = print):
+                 log: Callable = print, prefetch: int = 2):
         self.cfg = cfg
         self.name = name
         self.state = state
@@ -37,6 +37,7 @@ class TrainLoop:
         self.train_ds = train_ds
         self.test_ds = test_ds
         self.log = log
+        self.prefetch = prefetch
 
         ckpt_dir = os.path.join(workdir, cfg.train.checkpoint_dir, name)
         self.ckpt = CheckpointManager(ckpt_dir, cfg.train.ckpt_max_to_keep)
@@ -53,6 +54,15 @@ class TrainLoop:
         self.tb_test = EventWriter(os.path.join(tb_root, "val"))
         self.log(f"tensorboard --logdir={tb_root}")
 
+    def _feed(self, ds):
+        """Overlap host decode/stack with device compute (the reference's
+        prefetch(AUTOTUNE) analog, train.py:129)."""
+        if self.prefetch:
+            from skyhdr.data.pipeline import prefetch_to_device
+
+            return prefetch_to_device(iter(ds), size=self.prefetch)
+        return iter(ds)
+
     def run(self, epochs: Optional[int] = None, rng_seed: int = 0):
         epochs = epochs or self.cfg.train.epochs
         key = jax.random.PRNGKey(rng_seed)
@@ -65,12 +75,12 @@ class TrainLoop:
             train_metrics.reset()
             test_metrics.reset()
 
-            for batch in self.train_ds:
+            for batch in self._feed(self.train_ds):
                 key, sub = jax.random.split(key)
                 self.state, metrics = self.train_step(self.state, batch, sub)
                 train_metrics.update(metrics)
 
-            for batch in self.test_ds:
+            for batch in self._feed(self.test_ds):
                 key, sub = jax.random.split(key)
                 metrics, _ = self.eval_step(self.state, batch, sub)
                 test_metrics.update(metrics)
