@@ -51,15 +51,13 @@ def bench_inference(cfg, batch, iters=50):
 
 
 def bench_train_step(cfg, iters=20):
-    from skyhdr.data.degradation import DegradationBanks
+    from skyhdr.data.degradation import make_banks
     from skyhdr.models.vgg16 import random_vgg16_weights
     from skyhdr.train.engine import create_gan_state, make_gan_train_step
     from skyhdr.utils.io import get_exposure_lists, make_synthetic_dorf
 
-    banks = DegradationBanks(
-        crfs=jnp.asarray(make_synthetic_dorf(175, 1024)),
-        exposures=jnp.asarray(get_exposure_lists()[0]),
-    )
+    banks = make_banks(make_synthetic_dorf(175, 1024),
+                       get_exposure_lists()[0])
     step = make_gan_train_step(cfg, banks, random_vgg16_weights(), jit=False)
     step = jax.jit(step)  # no donation: we reuse the same state per iter
     state = create_gan_state(cfg, jax.random.PRNGKey(0))

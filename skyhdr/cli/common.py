@@ -72,10 +72,10 @@ def load_banks(cfg: Config, dorf_path: str, train: bool = True,
             f"family (see skyhdr.utils.io.make_synthetic_dorf)")
         crf = make_synthetic_dorf(201, 1024)
         train_crf, test_crf = crf[:175], crf[175:]
-    return DegradationBanks(
-        crfs=jnp.asarray(train_crf if train else test_crf),
-        exposures=jnp.asarray(train_t if train else test_t),
-    )
+    from skyhdr.data.degradation import make_banks
+
+    return make_banks(train_crf if train else test_crf,
+                      train_t if train else test_t)
 
 
 def load_vgg(path: str, log=print):

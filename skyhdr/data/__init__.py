@@ -1,7 +1,11 @@
 """Data layer: TFRecord-compatible codec, Laval extraction, host pipeline,
 on-device degradation (the reference's L1 + C16, SURVEY.md §2)."""
 
-from skyhdr.data.degradation import degrade_batch, DegradationBanks  # noqa: F401
+from skyhdr.data.degradation import (  # noqa: F401
+    DegradationBanks,
+    degrade_batch,
+    make_banks,
+)
 from skyhdr.data.records import (  # noqa: F401
     read_tfrecord_examples,
     write_tfrecord,

@@ -27,20 +27,34 @@ input, exactly the pair the reference feeds to train_step (train.py:94).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
-from skyhdr.ops.crf import apply_rf
+from skyhdr.ops.crf import apply_rf, apply_rf_chebyshev, chebyshev_fit
 from skyhdr.ops.jpeg import jpeg_simulate
 
 
 class DegradationBanks(NamedTuple):
-    """Static host-loaded banks: CRF curves [n, k] and exposures [m]."""
+    """Static host-loaded banks: CRF curves [n, k], exposures [m], and
+    optional Chebyshev CRF coefficients [n, d].
+
+    When `crf_coeffs` is present the degradation evaluates CRFs with the
+    gather-free Clenshaw path (a batched-LUT gather fused into the pipeline
+    costs ~9 ms/step on TPU — 10x everything else combined; the warped
+    Chebyshev fit is accurate to ~2e-3, below the 8-bit quantization that
+    follows). Build with `make_banks` to get the coefficients for free.
+    """
 
     crfs: jnp.ndarray
     exposures: jnp.ndarray
+    crf_coeffs: Optional[jnp.ndarray] = None
+
+
+def make_banks(crfs, exposures, fit_chebyshev: bool = True) -> DegradationBanks:
+    coeffs = jnp.asarray(chebyshev_fit(crfs)) if fit_chebyshev else None
+    return DegradationBanks(jnp.asarray(crfs), jnp.asarray(exposures), coeffs)
 
 
 def jpeg_quality_ramp(batch: int, lo: float = 90.0, hi: float = 100.0):
@@ -72,7 +86,10 @@ def degrade_batch(key, hdr, banks: DegradationBanks, *,
     clipped = jnp.clip(hdr_t, 0.0, 1.0)
 
     crf_idx = jax.random.randint(k_crf, (b,), 0, banks.crfs.shape[0])
-    ldr = apply_rf(clipped, banks.crfs[crf_idx])
+    if banks.crf_coeffs is not None:
+        ldr = apply_rf_chebyshev(clipped, banks.crf_coeffs[crf_idx])
+    else:
+        ldr = apply_rf(clipped, banks.crfs[crf_idx])
 
     quality = jpeg_quality_ramp(b, jpeg_lo, jpeg_hi)
     ldr = jpeg_simulate(ldr, quality, chroma_subsample=chroma_subsample)

@@ -233,6 +233,24 @@ def test_jpeg_simulate_close_to_real_jpeg():
     assert np.abs(real - sim).mean() < 0.05
 
 
+def test_chebyshev_crf_matches_interp(rng):
+    """The gather-free Clenshaw CRF path must match the exact interp within
+    the 8-bit quantization step that follows it (skyhdr.ops.crf)."""
+    from skyhdr.ops.crf import apply_rf, apply_rf_chebyshev, chebyshev_fit
+
+    curves = make_synthetic_dorf(16, 1024)
+    coeffs = chebyshev_fit(curves)
+    x = rng.uniform(0, 1, size=(16, 8, 32, 3)).astype(np.float32)
+    exact = np.asarray(apply_rf(jnp.asarray(x), jnp.asarray(curves)))
+    cheb = np.asarray(apply_rf_chebyshev(jnp.asarray(x), jnp.asarray(coeffs)))
+    assert np.abs(exact - cheb).max() < 1.0 / 255.0
+    # Toe region (tiny values) is the hard part for gamma-like curves.
+    x0 = (rng.uniform(0, 1, size=(16, 64)) ** 6).astype(np.float32)
+    e0 = np.asarray(apply_rf(jnp.asarray(x0), jnp.asarray(curves)))
+    c0 = np.asarray(apply_rf_chebyshev(jnp.asarray(x0), jnp.asarray(coeffs)))
+    assert np.abs(e0 - c0).max() < 1.0 / 255.0
+
+
 def test_degrade_batch_semantics(rng):
     banks = DegradationBanks(
         crfs=jnp.asarray(make_synthetic_dorf(8, 256)),
