@@ -1,0 +1,334 @@
+"""Weight-transplant parity vs the actual TF reference implementation.
+
+Builds the reference models (shimmed for Keras 3, tests/tf_shim.py), copies
+their freshly-initialized weights into our Flax trees, and asserts the
+forward computations agree: generator encode/decoders/radiance head, sun
+pose net, Grad-CAM maps (tf.gradients vs our vjp trick), discriminator, and
+the full blended inference graph. This pins every layer's padding, slope,
+epsilon and ordering to the reference, not just the formulas.
+"""
+
+import numpy as np
+import pytest
+
+tf_mods = pytest.importorskip("tensorflow")
+
+import jax
+import jax.numpy as jnp
+
+from skyhdr.config import ModelConfig
+from skyhdr.models import Discriminator, Generator, SunPoseNet, sunpose_with_cams
+from skyhdr.ops.hdr import hdr_log_compression, hdr_log_decompression
+
+from tf_shim import load_reference_modules
+
+H, W, B = 16, 64, 2
+RTOL, ATOL = 2e-3, 2e-4
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference_modules()
+
+
+@pytest.fixture(scope="module")
+def rng_np():
+    return np.random.default_rng(0)
+
+
+def _conv_w(layer):
+    return np.asarray(layer.w), np.asarray(layer.biases)
+
+
+def _in_w(layer):
+    # keras GroupNormalization: weights = [gamma, beta]
+    return np.asarray(layer.weights[0]), np.asarray(layer.weights[1])
+
+
+def _transplant_generator(g_tf, variables):
+    """Copy TF reference generator weights into our Flax variable dict."""
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    bs = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    for name in ("conv1_d", "conv2_d", "conv3_d", "conv1_f", "conv1_u"):
+        w, b = _conv_w(getattr(g_tf, name))
+        p[name] = {"kernel": w, "bias": b}
+    for ours, theirs in (("norm1_d", g_tf.norm1_d), ("norm2_d", g_tf.norm2_d),
+                         ("norm3_d", g_tf.norm3_d), ("norm3_f", g_tf.norm3_f),
+                         ("norm2_f", g_tf.norm2_f), ("norm3_u", g_tf.norm3_u),
+                         ("norm2_u", g_tf.norm2_u)):
+        gma, bta = _in_w(theirs)
+        p[ours] = {"scale": gma, "bias": bta}
+    for i, rb in enumerate(g_tf.res.sequence):
+        w1, b1 = _conv_w(rb.conv1)
+        w2, b2 = _conv_w(rb.conv2)
+        g1, be1 = _in_w(rb.norm1)
+        g2, be2 = _in_w(rb.norm2)
+        p[f"res{i}"] = {
+            "conv1": {"kernel": w1, "bias": b1},
+            "norm1": {"scale": g1, "bias": be1},
+            "conv2": {"kernel": w2, "bias": b2},
+            "norm2": {"scale": g2, "bias": be2},
+        }
+    for name in ("conv3_f", "conv2_f", "conv3_u", "conv2_u"):
+        layer = getattr(g_tf, name)
+        p[name] = {"conv": {"kernel": np.asarray(layer.kernel),
+                            "bias": np.asarray(layer.biases)}}
+    # SunRadNet.
+    sun = g_tf.sun
+    p["sun"]["d1"] = {"conv": {"kernel": np.asarray(sun.d1.conv.kernel)}}
+    for i, d in (("d2", sun.d2), ("d3", sun.d3), ("d4", sun.d4)):
+        bn_w = {w.name: np.asarray(w) for w in d.norm.weights}
+        p["sun"][i] = {
+            "conv": {"kernel": np.asarray(d.conv.kernel)},
+            "bn": {"scale": bn_w["gamma"], "bias": bn_w["beta"]},
+        }
+        bs["sun"][i] = {"bn": {"mean": bn_w["moving_mean"],
+                               "var": bn_w["moving_variance"]}}
+    p["sun"]["gamma"] = {"kernel": np.asarray(sun.gamma.kernel),
+                         "bias": np.asarray(sun.gamma.bias)}
+    p["sun"]["beta"] = {"kernel": np.asarray(sun.beta.kernel),
+                        "bias": np.asarray(sun.beta.bias)}
+    return {"params": p, "batch_stats": bs}
+
+
+@pytest.fixture(scope="module")
+def gen_pair(ref, rng_np):
+    ref_gen, *_ , tf = ref
+    g_tf = ref_gen.model(batch_size=B, im_height=H, im_width=W,
+                         da_kernel_size=3, dilation_rate=1)
+    x = tf.constant(rng_np.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    # Build all submodules.
+    res = g_tf.encode(x, training=False)
+    _ = g_tf.sky_decode(res, x, training=False)
+    cam1 = tf.zeros((B, H, W, 1))
+    cam2 = tf.zeros((B, H // 2, W // 2, 1))
+    cam3 = tf.zeros((B, H // 4, W // 4, 1))
+    pose = tf.fill((B, H, W, 1), 1.0 / (H * W))
+    _ = g_tf.sun_rad_estimation(x, cam1, cam2, cam3, pose, training=False)
+    _ = g_tf.sun_decode(res, cam1, cam2, cam3, tf.zeros((B, H, W, 3)),
+                        training=False)
+
+    cfg = ModelConfig(im_height=H, im_width=W)
+    g_jx = Generator(cfg)
+    variables = jax.tree_util.tree_map(
+        np.asarray, jax.device_get(
+            g_jx.init(jax.random.PRNGKey(0), jnp.asarray(np.asarray(x))))
+    )
+    variables = _transplant_generator(g_tf, variables)
+    return g_tf, g_jx, variables, np.asarray(x)
+
+
+def test_encoder_parity(gen_pair, ref):
+    g_tf, g_jx, variables, x = gen_pair
+    res_tf = np.asarray(g_tf.encode(x, training=False))
+    res_jx = np.asarray(g_jx.apply(variables, jnp.asarray(x),
+                                   method=Generator.encode))
+    np.testing.assert_allclose(res_jx, res_tf, rtol=RTOL, atol=ATOL)
+
+
+def test_sky_decoder_parity(gen_pair):
+    g_tf, g_jx, variables, x = gen_pair
+    res_tf = g_tf.encode(x, training=False)
+    sky_tf = np.asarray(g_tf.sky_decode(res_tf, x, training=False))
+    res_jx = g_jx.apply(variables, jnp.asarray(x), method=Generator.encode)
+    sky_jx = np.asarray(g_jx.apply(variables, res_jx, jnp.asarray(x),
+                                   method=Generator.sky_decode))
+    np.testing.assert_allclose(sky_jx, sky_tf, rtol=RTOL, atol=ATOL)
+
+
+def test_sun_rad_parity(gen_pair, ref, rng_np):
+    *_, tf = ref
+    g_tf, g_jx, variables, x = gen_pair
+    cam1 = rng_np.uniform(0, 1, (B, H, W, 1)).astype(np.float32)
+    cam2 = rng_np.uniform(0, 1, (B, H // 2, W // 2, 1)).astype(np.float32)
+    cam3 = rng_np.uniform(0, 1, (B, H // 4, W // 4, 1)).astype(np.float32)
+    pose = rng_np.uniform(0, 1, (B, H, W, 1)).astype(np.float32)
+    sr_tf, g_out_tf, b_out_tf = g_tf.sun_rad_estimation(
+        tf.constant(x), tf.constant(cam1), tf.constant(cam2),
+        tf.constant(cam3), tf.constant(pose), training=False)
+    sr_jx, g_out_jx, b_out_jx = g_jx.apply(
+        variables, jnp.asarray(x), jnp.asarray(cam1), jnp.asarray(cam2),
+        jnp.asarray(cam3), jnp.asarray(pose), False,
+        method=Generator.sun_rad_estimation)
+    np.testing.assert_allclose(np.asarray(g_out_jx), np.asarray(g_out_tf),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(b_out_jx), np.asarray(b_out_tf),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(sr_jx), np.asarray(sr_tf),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_sun_decoder_parity(gen_pair, ref, rng_np):
+    *_, tf = ref
+    g_tf, g_jx, variables, x = gen_pair
+    res_tf = g_tf.encode(x, training=False)
+    rad = rng_np.uniform(0, 2, (B, H, W, 3)).astype(np.float32)
+    cam1 = np.zeros((B, H, W, 1), np.float32)
+    cam2 = np.zeros((B, H // 2, W // 2, 1), np.float32)
+    cam3 = np.zeros((B, H // 4, W // 4, 1), np.float32)
+    sun_tf = np.asarray(g_tf.sun_decode(
+        res_tf, tf.constant(cam1), tf.constant(cam2), tf.constant(cam3),
+        tf.constant(rad), training=False))
+    res_jx = g_jx.apply(variables, jnp.asarray(x), method=Generator.encode)
+    sun_jx = np.asarray(g_jx.apply(variables, res_jx, jnp.asarray(rad),
+                                   method=Generator.sun_decode))
+    np.testing.assert_allclose(sun_jx, sun_tf, rtol=RTOL, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Sun-pose net + Grad-CAM
+# ---------------------------------------------------------------------------
+
+def _transplant_sunpose(s_tf, variables):
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    for ours, theirs in (("sunlayer1", s_tf.sunlayer1),
+                         ("sunlayer2", s_tf.sunlayer2),
+                         ("sunlayer3", s_tf.sunlayer3)):
+        w1, b1 = _conv_w(theirs.conv1)
+        w2, b2 = _conv_w(theirs.conv2)
+        g1, be1 = _in_w(theirs.norm1)
+        g2, be2 = _in_w(theirs.norm2)
+        p[ours] = {
+            "conv1": {"kernel": w1, "bias": b1},
+            "norm1": {"scale": g1, "bias": be1},
+            "conv2": {"kernel": w2, "bias": b2},
+            "norm2": {"scale": g2, "bias": be2},
+        }
+    p["fc1"] = {"kernel": np.asarray(s_tf.fc1.kernel),
+                "bias": np.asarray(s_tf.fc1.bias)}
+    p["fc2"] = {"kernel": np.asarray(s_tf.fc2.kernel),
+                "bias": np.asarray(s_tf.fc2.bias)}
+    return {"params": p}
+
+
+@pytest.fixture(scope="module")
+def sun_pair(ref, rng_np):
+    _, ref_sun, *_ , tf = ref
+    s_tf = ref_sun.model(im_height=H, im_width=W, da_kernel_size=3,
+                         dilation_rate=1)
+    x = rng_np.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    _ = s_tf.sunposeEstimation(tf.constant(x), training=False)
+    cfg = ModelConfig(im_height=H, im_width=W)
+    s_jx = SunPoseNet(cfg)
+    variables = jax.tree_util.tree_map(
+        np.asarray,
+        jax.device_get(s_jx.init(jax.random.PRNGKey(0), jnp.asarray(x))),
+    )
+    variables = _transplant_sunpose(s_tf, variables)
+    return s_tf, s_jx, variables, x
+
+
+def test_sunpose_parity(sun_pair):
+    s_tf, s_jx, variables, x = sun_pair
+    sm_tf, acts_tf = s_tf.sunposeEstimation(x, training=False)
+    sm_jx, acts_jx = s_jx.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(sm_jx), np.asarray(sm_tf),
+                               rtol=RTOL, atol=1e-6)
+    for a_jx, a_tf in zip(acts_jx, acts_tf):
+        np.testing.assert_allclose(np.asarray(a_jx), np.asarray(a_tf),
+                                   rtol=RTOL, atol=ATOL)
+
+
+def test_gradcam_parity(sun_pair, ref):
+    """Our zero-perturbation vjp CAMs vs the reference's tf.gradients CAMs
+    (grad_cam.py:29-44) — the trickiest transformation to port."""
+    *_, ref_grad_cam, tf = ref
+    s_tf, s_jx, variables, x = sun_pair
+
+    @tf.function
+    def tf_cams(xx):
+        sm, (a1, a2, a3) = s_tf.sunposeEstimation(xx, training=False)
+        y_c = tf.math.reduce_max(sm, axis=1)  # train_sun.py:210
+        return (ref_grad_cam.layer(y_c, a1), ref_grad_cam.layer(y_c, a2),
+                ref_grad_cam.layer(y_c, a3))
+
+    cams_tf = tf_cams(tf.constant(x))
+    apply_fn = lambda v, xx, eps: s_jx.apply(v, xx, eps)
+    _, cams_jx = sunpose_with_cams(apply_fn, variables, jnp.asarray(x), None)
+    for c_jx, c_tf in zip(cams_jx, cams_tf):
+        np.testing.assert_allclose(np.asarray(c_jx), np.asarray(c_tf),
+                                   rtol=5e-3, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Discriminator
+# ---------------------------------------------------------------------------
+
+def test_discriminator_parity(ref, rng_np):
+    _, _, ref_disc, *_ , tf = ref
+    d_tf = ref_disc.model(im_height=H, im_width=W, da_kernel_size=3,
+                          dilation_rate=1)
+    ldr = rng_np.uniform(0, 1, (B, 32, 128, 3)).astype(np.float32)
+    hdr = rng_np.uniform(0, 3, (B, 32, 128, 3)).astype(np.float32)
+    out_tf = d_tf([tf.constant(ldr), tf.constant(hdr)], training=False)
+
+    d_jx = Discriminator()
+    variables = jax.tree_util.tree_map(
+        np.asarray,
+        jax.device_get(d_jx.init(jax.random.PRNGKey(0), jnp.asarray(ldr),
+                                 jnp.asarray(hdr), train=False)),
+    )
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    for i, d in (("d1", d_tf.d1), ("d2", d_tf.d2), ("d3", d_tf.d3),
+                 ("d4", d_tf.d4)):
+        p[i]["conv"]["kernel"] = np.asarray(d.conv.kernel)
+        if i != "d1":
+            bn_w = {w.name: np.asarray(w) for w in d.norm.weights}
+            p[i]["bn"] = {"scale": bn_w["gamma"], "bias": bn_w["beta"]}
+            bs[i] = {"bn": {"mean": bn_w["moving_mean"],
+                            "var": bn_w["moving_variance"]}}
+    p["out"] = {"kernel": np.asarray(d_tf.out.kernel),
+                "bias": np.asarray(d_tf.out.bias)}
+
+    out_jx = d_jx.apply({"params": p, "batch_stats": bs}, jnp.asarray(ldr),
+                        jnp.asarray(hdr), train=False)
+    assert out_jx.shape == tuple(out_tf.shape)
+    np.testing.assert_allclose(np.asarray(out_jx), np.asarray(out_tf),
+                               rtol=RTOL, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Full blended inference graph
+# ---------------------------------------------------------------------------
+
+def test_full_inference_graph_parity(gen_pair, sun_pair, ref):
+    """End-to-end: encode -> sky -> sunpose+CAM -> radiance -> sun ->
+    alpha blend (reference inference.py:81-115) with transplanted weights."""
+    ref_gen, ref_sun, _, _, ref_tfu, ref_grad_cam, tf = ref
+    g_tf, g_jx, g_vars, x = gen_pair
+    s_tf, s_jx, s_vars, _ = sun_pair
+    thr = 0.12
+
+    @tf.function
+    def tf_graph(ldr):
+        res = g_tf.encode(ldr, training=False)
+        sky_g = g_tf.sky_decode(res, ldr, training=False)
+        sky_l = ref_tfu.hdr_logDecompression(sky_g)
+        sm, (a1, a2, a3) = s_tf.sunposeEstimation(ldr, training=False)
+        pose = tf.reshape(sm, (-1, H, W, 1))
+        alpha = tf.reduce_max(sky_l, axis=[3])
+        alpha = tf.minimum(1.0, tf.maximum(0.0, alpha - 1.0 + thr) / thr)
+        alpha3 = tf.tile(tf.reshape(alpha, [-1, H, W, 1]), [1, 1, 1, 3])
+        y_c = tf.math.reduce_max(sm, axis=1)
+        c1 = ref_grad_cam.layer(y_c, a1)
+        c2 = ref_grad_cam.layer(y_c, a2)
+        c3 = ref_grad_cam.layer(y_c, a3)
+        sr_l, _, _ = g_tf.sun_rad_estimation(ldr, c1, c2, c3, pose,
+                                             training=False)
+        sr_g = ref_tfu.hdr_logCompression(sr_l)
+        sun_g = g_tf.sun_decode(res, c1, c2, c3, sr_g, training=False)
+        y = (1.0 - alpha3) * sky_g + alpha3 * sun_g
+        return ref_tfu.hdr_logDecompression(y)
+
+    y_tf = np.asarray(tf_graph(tf.constant(x)))
+
+    from skyhdr.config import Config, DataConfig, ModelConfig as MC
+    from skyhdr.train.engine import make_inference_fn
+
+    cfg = Config(model=MC(im_height=H, im_width=W),
+                 data=DataConfig(batch_size=B))
+    infer = make_inference_fn(cfg, jit=False)
+    y_jx = np.asarray(infer(g_vars, s_vars, jnp.asarray(x))["y_final_lin"])
+    np.testing.assert_allclose(y_jx, y_tf, rtol=5e-3, atol=5e-3)
