@@ -42,6 +42,9 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="use the distortion-aware equirect conv")
     parser.add_argument("--workdir", type=str, default=cwd)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ckpt-every", type=int, default=10,
+                        help="checkpoint save cadence in epochs "
+                             "(reference train.py:516)")
     return parser
 
 
@@ -55,6 +58,7 @@ def config_from_args(args) -> Config:
                             f"dataset_{args.imwidth}_{args.imheight}/tfrecord")),
         train=TrainConfig(learning_rate=args.lr, epochs=args.epochs,
                           vgg_path=getattr(args, "vgg", None),
+                          ckpt_every_epochs=getattr(args, "ckpt_every", 10),
                           seed=args.seed),
     )
 

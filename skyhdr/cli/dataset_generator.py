@@ -24,11 +24,22 @@ def main(argv=None):
     # Hardcoded in the reference (datasetGenerator.py:13).
     parser.add_argument("--img-bias", type=float, default=0.00955794)
     parser.add_argument("--train-split", type=int, default=30000)
+    parser.add_argument("--envmap-ext", type=str, default="exr",
+                        choices=("exr", "hdr"),
+                        help="envmap format: exr (OpenCV reader, the Laval "
+                             "original) or hdr (built-in RGBE codec)")
     args = parser.parse_args(argv)
+
+    imread = None
+    if args.envmap_ext == "hdr":
+        from skyhdr.utils.io import read_hdr
+
+        imread = lambda p: read_hdr(p)[..., ::-1]  # BGR like cv2
 
     size_wh = (args.imwidth, args.imheight)
     extract_laval(args.dir, args.out, size_wh, img_bias=args.img_bias,
-                  train_split_count=args.train_split)
+                  train_split_count=args.train_split,
+                  envmap_name=f"envmap.{args.envmap_ext}", imread=imread)
     out_root = make_tfrecords(args.out, size_wh)
     print("TFRecords written under", out_root)
 

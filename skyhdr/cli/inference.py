@@ -50,6 +50,16 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = config_from_args(args)
+
+    # Validate inputs BEFORE building/restoring models (the reference's
+    # input check was a no-op tuple-assert, inference.py:133, and models
+    # were rebuilt per image; we fail fast instead).
+    paths = sorted(glob.glob(os.path.join(args.indir, "*.jpg"))
+                   + glob.glob(os.path.join(args.indir, "*.jpeg"))
+                   + glob.glob(os.path.join(args.indir, "*.png")))
+    if not paths:
+        raise SystemExit(
+            f"error: no .jpg/.jpeg/.png images found under {args.indir!r}")
     os.makedirs(args.outdir, exist_ok=True)
 
     state = create_gan_state(cfg, jax.random.PRNGKey(args.seed))
@@ -70,11 +80,6 @@ def main(argv=None):
             print("Latest SUN checkpoint restored")
 
     infer = make_inference_fn(cfg)
-
-    paths = sorted(glob.glob(os.path.join(args.indir, "*.jpg"))
-                   + glob.glob(os.path.join(args.indir, "*.jpeg"))
-                   + glob.glob(os.path.join(args.indir, "*.png")))
-    assert paths, f"no input images under {args.indir}"
 
     for path in paths:
         ldr = _imread01(path)

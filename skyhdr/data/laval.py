@@ -58,12 +58,18 @@ def _resize_bilinear_np(img: np.ndarray, wh: Tuple[int, int]) -> np.ndarray:
 
 def extract_laval(root_dir: str, out_dir: str, size_wh: Tuple[int, int] = (128, 32),
                   img_bias: float = 0.00955794, train_split_count: int = 30000,
+                  envmap_name: str = "envmap.exr", imread=None,
                   log=print) -> Tuple[str, str]:
     """Full extraction (reference loadLavalSkyDB.py:42-143). Returns the
-    (train_dir, test_dir) holding hdr/ crops and *_refine.csv files."""
-    import cv2  # EXR ingestion
+    (train_dir, test_dir) holding hdr/ crops and *_refine.csv files.
 
-    os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "true")
+    `imread` (path -> BGR float array or None) defaults to OpenCV's EXR
+    reader; injectable for tests / alternate formats."""
+    if imread is None:
+        import cv2  # EXR ingestion
+
+        os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "true")
+        imread = lambda p: cv2.imread(p, cv2.IMREAD_UNCHANGED)
     w, h = size_wh
     azimuth_unit = w / 360.0
     zenith_unit = h / 90.0
@@ -92,10 +98,10 @@ def extract_laval(root_dir: str, out_dir: str, size_wh: Tuple[int, int] = (128, 
             continue
         df = pd.read_csv(csv_path).dropna(subset=["Sun elevation", "Sun azimuth"])
         for timeline in sorted(os.listdir(date_dir)):
-            img_path = os.path.join(date_dir, timeline, "envmap.exr")
+            img_path = os.path.join(date_dir, timeline, envmap_name)
             if not os.path.exists(img_path):
                 continue
-            img = cv2.imread(img_path, cv2.IMREAD_UNCHANGED)
+            img = imread(img_path)
             if img is None or np.max(img) < img_bias:
                 log("skip all-dark image", img_path)
                 continue
