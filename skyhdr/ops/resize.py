@@ -37,12 +37,47 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
+def _upsample_axis_int(img, axis: int, s: int):
+    """Integer-factor half-pixel bilinear upsample along `axis` as a fixed
+    per-phase 2-tap blend + interleave — pure elementwise ops, which forward
+    AND reverse-differentiate far better on TPU than the matmul form (the
+    einsum's transpose in the backward pass dominated decoder gradients)."""
+    n = img.shape[axis]
+
+    def take(idx):
+        idx = np.clip(idx, 0, n - 1)
+        return jnp.take(img, jnp.asarray(idx), axis=axis)
+
+    base = np.arange(n)
+    phases = []
+    for r in range(s):
+        frac = (r + 0.5) / s - 0.5  # offset of the source sample
+        if frac < 0:
+            lo, hi, t = base - 1, base, 1.0 + frac
+        else:
+            lo, hi, t = base, base + 1, frac
+        phases.append((1.0 - t) * take(lo) + t * take(hi))
+    out = jnp.stack(phases, axis=axis + 1 if axis >= 0 else img.ndim + axis + 1)
+    new_shape = list(img.shape)
+    new_shape[axis] = n * s
+    return out.reshape(new_shape)
+
+
 def resize_bilinear(img, size):
     """Resize [..., h, w, c] -> [..., H, W, c] with bilinear interpolation."""
     H, W = int(size[0]), int(size[1])
     h, w = img.shape[-3], img.shape[-2]
     if (h, w) == (H, W):
         return img
+    # Fast path: integer upscaling (2x decoder stages, 2x/4x CAM and DoG
+    # upsampling) via phase interleave.
+    out = img
+    if H % h == 0 and W % w == 0 and H // h >= 1 and W // w >= 1 and (H > h or W > w):
+        if H > h:
+            out = _upsample_axis_int(out, out.ndim - 3, H // h)
+        if W > w:
+            out = _upsample_axis_int(out, out.ndim - 2, W // w)
+        return out
     mh = jnp.asarray(_interp_matrix(h, H))
     mw = jnp.asarray(_interp_matrix(w, W))
     out = jnp.einsum("Hh,...hwc->...Hwc", mh, img)
