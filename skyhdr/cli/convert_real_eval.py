@@ -20,20 +20,40 @@ def main(argv=None):
     parser.add_argument("--gt-dir", type=str, default="outdoor_real_gt")
     parser.add_argument("--input-dir", type=str, default="outdoor_real_input")
     parser.add_argument("--out", type=str, default="outdoor_real_tfrecord")
+    parser.add_argument("--gt-ext", type=str, default="exr",
+                        choices=("exr", "hdr"))
     args = parser.parse_args(argv)
 
-    import cv2
-
-    os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "true")
     os.makedirs(args.out, exist_ok=True)
 
-    gts = sorted(glob.glob(os.path.join(args.gt_dir, "*.exr")))
+    gts = sorted(glob.glob(os.path.join(args.gt_dir, f"*.{args.gt_ext}")))
     ldrs = sorted(glob.glob(os.path.join(args.input_dir, "*.jpg")))
-    assert len(gts) == len(ldrs), (len(gts), len(ldrs))
+    if len(gts) != len(ldrs) or not gts:
+        raise SystemExit(f"error: {len(gts)} GT vs {len(ldrs)} LDR images")
+
+    if args.gt_ext == "hdr":
+        from skyhdr.utils.io import read_hdr
+
+        read_gt = lambda p: read_hdr(p)[..., ::-1]  # BGR like cv2
+    else:
+        import cv2
+
+        os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "true")
+        read_gt = lambda p: cv2.imread(p, cv2.IMREAD_UNCHANGED)
+
+    def read_ldr(p):
+        try:
+            import cv2
+
+            return cv2.imread(p, cv2.IMREAD_COLOR)
+        except ImportError:
+            from PIL import Image
+
+            return np.asarray(Image.open(p).convert("RGB"))[..., ::-1]
 
     for gt_path, ldr_path in zip(gts, ldrs):
-        hdr = cv2.imread(gt_path, cv2.IMREAD_UNCHANGED)
-        ldr = cv2.imread(ldr_path, cv2.IMREAD_COLOR)
+        hdr = read_gt(gt_path)
+        ldr = read_ldr(ldr_path)
         # Top-half crop = the sky dome (reference convert_to_tf_record.py:49-50).
         hdr = hdr[: hdr.shape[0] // 2].astype(np.float32)
         ldr = ldr[: ldr.shape[0] // 2]
