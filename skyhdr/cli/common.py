@@ -5,8 +5,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import jax.numpy as jnp
-
 from skyhdr.config import Config, DataConfig, ModelConfig, TrainConfig
 from skyhdr.data.degradation import DegradationBanks
 from skyhdr.utils.io import get_exposure_lists, load_dorf_curves, make_synthetic_dorf

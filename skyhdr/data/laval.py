@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Iterable, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

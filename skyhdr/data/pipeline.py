@@ -17,7 +17,6 @@ compute (the reference's prefetch(AUTOTUNE) equivalent).
 
 from __future__ import annotations
 
-import os
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional, Tuple

@@ -14,8 +14,6 @@ cam = relu(sum_c w_c * A_c), one channel, no normalization.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

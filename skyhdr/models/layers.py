@@ -16,7 +16,7 @@ Initialization matches the reference: glorot_uniform conv kernels
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -19,14 +19,10 @@ Two ops:
 
 from __future__ import annotations
 
-import functools
-
-import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from skyhdr.ops.distortion import deformable_conv2d
 

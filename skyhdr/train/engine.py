@@ -18,14 +18,13 @@ Update topology preserved exactly (train.py:382-415):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 from skyhdr.config import Config
 from skyhdr.data.degradation import DegradationBanks, degrade_batch

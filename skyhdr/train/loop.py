@@ -10,7 +10,6 @@ import time
 from typing import Callable, Optional
 
 import jax
-import numpy as np
 
 from skyhdr.config import Config
 from skyhdr.train.checkpoints import CheckpointManager

@@ -13,7 +13,6 @@ codec.
 
 from __future__ import annotations
 
-import os
 from typing import Tuple
 
 import numpy as np
