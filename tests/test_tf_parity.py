@@ -290,6 +290,48 @@ def test_discriminator_parity(ref, rng_np):
 
 
 # ---------------------------------------------------------------------------
+# Distortion-aware conv vs the reference's TF implementation
+# ---------------------------------------------------------------------------
+
+def test_da_conv_interior_parity(ref, rng_np):
+    """Same kernel/bias through the reference's deformable conv
+    (distortion_aware_ops.py:5-123) and ours. Interior columns must match
+    exactly; the seam columns differ by design (the reference wraps modulo
+    its zero-padded width — SURVEY.md §2 C9 / our module docstring)."""
+    import importlib
+
+    *_, tf = ref
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    dao = importlib.import_module("distortion_aware_ops")
+
+    h, w, c, f, b = 8, 32, 3, 4, 2
+    x = rng_np.uniform(0, 1, (b, h, w, c)).astype(np.float32)
+    layer = dao.conv2d(f, kernel_size=3, strides=1, dilation_rate=1)
+    out_tf = np.asarray(layer(tf.constant(x)))
+
+    kernel = np.asarray(layer.kernel)  # [9c, f]
+    bias = np.asarray(layer.bias)
+
+    from skyhdr.ops.distortion import deformable_conv2d
+
+    out_jx = np.asarray(deformable_conv2d(jnp.asarray(x), jnp.asarray(kernel),
+                                          jnp.asarray(bias)))
+    assert out_jx.shape == out_tf.shape
+    # Compare away from the two documented deviations: the width seam (the
+    # reference wraps modulo its zero-padded width) and the pole row 0
+    # (the reference's y-clip zeroes all four bilinear weights for taps
+    # pushed past the top; we clamp to the edge row instead).
+    interior = slice(6, w - 6)
+    np.testing.assert_allclose(out_jx[:, 1:, interior],
+                               out_tf[:, 1:, interior],
+                               rtol=5e-3, atol=5e-3)
+    # And the pole row does differ — the deviation is real, not untested.
+    assert np.abs(out_jx[:, 0, interior] - out_tf[:, 0, interior]).max() > 0.01
+
+
+# ---------------------------------------------------------------------------
 # Full blended inference graph
 # ---------------------------------------------------------------------------
 
