@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--sky", type=str, default=None)
     parser.add_argument("--sun", type=str, default=None)
     parser.add_argument("--max-batches", type=int, default=0)
+    parser.add_argument("--render-dir", type=str, default=None,
+                        help="also write tone-mapped PNG previews of "
+                             "(input LDR, reconstruction, target) per batch")
     args = parser.parse_args(argv)
 
     cfg = config_from_args(args)
@@ -58,7 +61,7 @@ def main(argv=None):
     def eval_one(gen_vars, sun_vars, key, hdr):
         hdr_t, ldr = degrade_batch(key, hdr, banks)
         pred = infer(gen_vars, sun_vars, ldr)["y_final_lin"]
-        return evaluate_batch(pred, hdr_t)
+        return evaluate_batch(pred, hdr_t), (ldr, pred, hdr_t)
 
     key = jax.random.PRNGKey(args.seed)
     sums, count = {}, 0
@@ -66,11 +69,24 @@ def main(argv=None):
         if args.max_batches and i >= args.max_batches:
             break
         key, sub = jax.random.split(key)
-        metrics = eval_one(state.gen_vars, state.sun_vars, sub,
-                           jnp.asarray(batch["hdr"]))
+        metrics, (ldr, pred, hdr_t) = eval_one(
+            state.gen_vars, state.sun_vars, sub, jnp.asarray(batch["hdr"]))
         for k, v in metrics.items():
             sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
         count += batch["hdr"].shape[0]
+        if args.render_dir:
+            import numpy as np
+
+            from skyhdr.utils.vis import save_eval_panel, tonemap_for_display
+
+            save_eval_panel(
+                [np.asarray(ldr[0]),
+                 tonemap_for_display(np.asarray(pred[0])),
+                 tonemap_for_display(np.asarray(hdr_t[0]))],
+                ["input LDR", "reconstruction (tone-mapped)",
+                 "target (tone-mapped)"],
+                os.path.join(args.render_dir, f"batch{i:04d}.png"),
+            )
 
     result = {k: v / max(count, 1) for k, v in sums.items()}
     result["images"] = count
