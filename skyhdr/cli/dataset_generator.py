@@ -30,6 +30,11 @@ def main(argv=None):
                              "original) or hdr (built-in RGBE codec)")
     args = parser.parse_args(argv)
 
+    if not os.path.isdir(os.path.join(args.dir, "envmap")):
+        raise SystemExit(
+            f"error: {args.dir!r} does not look like a Laval Sky DB root "
+            f"(missing envmap/ subdirectory)")
+
     imread = None
     if args.envmap_ext == "hdr":
         from skyhdr.utils.io import read_hdr

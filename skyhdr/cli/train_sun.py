@@ -55,21 +55,23 @@ def main(argv=None):
 
         out_dir = os.path.join(args.workdir, "outputImg", "SUN")
         if args.outputimg_every:
-            # Wrap eval_step to dump CAM/pred grids per epoch like the
-            # reference does (train_sun.py:329-337,363-373).
+            # Wrap eval_step to dump CAM/pred grids once per eval pass (the
+            # reference dumps per epoch, train_sun.py:329-337,363-373).
             base_eval = eval_step
-            epoch_box = {"n": 0}
+            batches_per_epoch = max(len(test_ds), 1)
+            box = {"batch": 0}
 
             def eval_with_dumps(state, batch, key):
                 metrics, outputs = base_eval(state, batch, key)
-                epoch_box["n"] += 1
-                if epoch_box["n"] % max(args.outputimg_every, 1) == 0:
+                box["batch"] += 1
+                epoch, pos = divmod(box["batch"], batches_per_epoch)
+                if pos == 0 and epoch % max(args.outputimg_every, 1) == 0:
                     save_image_grid(np.asarray(outputs["pred"]),
                                     os.path.join(out_dir, "val",
-                                                 f"pred_{epoch_box['n']}.png"))
+                                                 f"pred_epoch{epoch}.png"))
                     save_image_grid(np.asarray(outputs["cams"][0]),
                                     os.path.join(out_dir, "val",
-                                                 f"cam1_{epoch_box['n']}.png"))
+                                                 f"cam1_epoch{epoch}.png"))
                 return metrics, outputs
 
             loop.eval_step = eval_with_dumps
