@@ -135,6 +135,30 @@ def test_data_parallel_sun_step_matches_single_device():
                                rtol=5e-2)
 
 
+def test_width_sharded_da_generator_matches_unsharded(rng):
+    """GSPMD partitions the distortion-aware conv's structured gathers
+    correctly when the panorama width is sharded — spatial parallelism for
+    the DA path needs no manual halo code (the explicit ring variant in
+    skyhdr.parallel.spatial remains for shard_map pipelines)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from skyhdr.config import ModelConfig as MC
+    from skyhdr.models import Generator
+
+    cfg = MC(im_height=16, im_width=64, use_da_conv=True)
+    gen = Generator(cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (4, 16, 64, 3)).astype(np.float32))
+    v = gen.init(jax.random.PRNGKey(0), x)
+    mesh = make_mesh(data=2, width=4)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, "width", None)))
+    vs = jax.device_put(v, NamedSharding(mesh, P()))
+    f = jax.jit(lambda vv, xx: gen.apply(vv, xx),
+                out_shardings=NamedSharding(mesh, P("data", None, "width", None)))
+    y = np.asarray(f(vs, xs))
+    y_ref = np.asarray(gen.apply(v, x))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
 def test_data_parallel_gan_step_runs():
     cfg = Config(model=ModelConfig(im_height=16, im_width=64),
                  data=DataConfig(batch_size=8),
