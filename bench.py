@@ -23,18 +23,22 @@ def _log(*args):
 TF_CPU_BASELINE_INFER_32x128 = 26.05  # panoramas/s, batch 32
 
 
-def _time_fn(fn, *args, iters=20, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def _time_over_inputs(fn, inputs, warmup=2):
+    """Time fn over DISTINCT pre-staged inputs, blocking on every output.
+
+    Timing with one input reused across iterations is invalid on this
+    tunneled runtime: repeated identical executions can return relay-cached
+    results, reporting physically impossible step times (measured: 0.1 ms
+    for a graph whose true device time is 84 ms)."""
+    for x in inputs[:warmup]:
+        jax.block_until_ready(fn(x))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    outs = [fn(x) for x in inputs]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / len(inputs)
 
 
-def bench_inference(cfg, batch, iters=50):
+def bench_inference(cfg, batch, iters=20):
     from skyhdr.train.engine import create_gan_state, make_inference_fn
 
     state = create_gan_state(
@@ -42,11 +46,14 @@ def bench_inference(cfg, batch, iters=50):
     )
     infer = make_inference_fn(cfg)
     rng = np.random.default_rng(0)
-    ldr = jnp.asarray(rng.uniform(0, 1, size=(batch, cfg.model.im_height,
-                                              cfg.model.im_width, 3)
-                                  ).astype(np.float32))
-    dt = _time_fn(lambda x: infer(state.gen_vars, state.sun_vars, x)
-                  ["y_final_lin"], ldr, iters=iters)
+    shape = (batch, cfg.model.im_height, cfg.model.im_width, 3)
+    inputs = [jnp.asarray(rng.uniform(0, 1, size=shape).astype(np.float32))
+              for _ in range(iters)]
+    jax.block_until_ready(inputs)
+    dt = _time_over_inputs(
+        lambda x: infer(state.gen_vars, state.sun_vars, x)["y_final_lin"],
+        inputs,
+    )
     return batch / dt, dt
 
 
@@ -59,23 +66,27 @@ def bench_train_step(cfg, iters=20):
     banks = make_banks(make_synthetic_dorf(175, 1024),
                        get_exposure_lists()[0])
     step = make_gan_train_step(cfg, banks, random_vgg16_weights(), jit=False)
-    step = jax.jit(step)  # no donation: we reuse the same state per iter
+    step = jax.jit(step)  # no donation: timing loop threads state itself
     state = create_gan_state(cfg, jax.random.PRNGKey(0))
     b = cfg.data.batch_size
     rng = np.random.default_rng(0)
-    batch = {
+    batches = [{
         "hdr": jnp.asarray(rng.uniform(0, 2, size=(b, cfg.model.im_height,
                                                    cfg.model.im_width, 3)
                                        ).astype(np.float32)),
         "elevation": jnp.asarray(np.linspace(4, 28, b).astype(np.float32)),
-    }
-    key = jax.random.PRNGKey(1)
+    } for _ in range(iters)]
+    jax.block_until_ready(batches)
+    keys = jax.random.split(jax.random.PRNGKey(1), iters)
 
-    def run(s, bt, k):
-        _, metrics = step(s, bt, k)
-        return metrics["gen_total"]
-
-    dt = _time_fn(run, state, batch, key, iters=iters, warmup=2)
+    # Warmup (also threads state so no step can be a cached replay).
+    state, _ = step(state, batches[0], keys[0])
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for bt, k in zip(batches, keys):
+        state, metrics = step(state, bt, k)
+    jax.block_until_ready(metrics["gen_total"])
+    dt = (time.perf_counter() - t0) / iters
     return b / dt, dt
 
 

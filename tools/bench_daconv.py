@@ -15,14 +15,15 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, iters=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit_inputs(fn, inputs):
+    """Distinct inputs per iteration + block on all outputs — reusing one
+    input can hit relay-side result caching on the tunneled TPU and report
+    impossibly fast times (see bench.py:_time_over_inputs)."""
+    jax.block_until_ready(fn(inputs[0]))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    outs = [fn(x) for x in inputs]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / len(inputs)
 
 
 def main():
@@ -39,12 +40,15 @@ def main():
 
     dt = jnp.dtype(args.dtype)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(args.b, args.h, args.w, args.c)), dt)
+    inputs = [jnp.asarray(rng.normal(size=(args.b, args.h, args.w, args.c)), dt)
+              for _ in range(12)]
+    jax.block_until_ready(inputs)
+    x = inputs[0]
     k = jnp.asarray(rng.normal(size=(9 * args.c, args.f)) * 0.05, dt)
     bias = jnp.zeros((args.f,), dt)
 
     f_ref = jax.jit(lambda xx: deformable_conv2d(xx, k, bias))
-    t = timeit(f_ref, x)
+    t = timeit_inputs(f_ref, inputs)
     flops = 2 * args.b * args.h * args.w * 9 * args.c * args.f
     print(f"deformable_conv2d: {t*1e3:.3f} ms  "
           f"({flops/t/1e12:.2f} TF/s)  shape {x.shape}->{args.f}")
@@ -53,7 +57,7 @@ def main():
     kc = jnp.asarray(rng.normal(size=(3, 3, args.c, args.f)) * 0.05, dt)
     f_conv = jax.jit(lambda xx: jax.lax.conv_general_dilated(
         xx, kc, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")))
-    t2 = timeit(f_conv, x)
+    t2 = timeit_inputs(f_conv, inputs)
     print(f"plain conv2d     : {t2*1e3:.3f} ms  ({flops/t2/1e12:.2f} TF/s)")
     print(f"DA/plain ratio   : {t/t2:.1f}x")
 
