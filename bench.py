@@ -57,7 +57,7 @@ def bench_inference(cfg, batch, iters=20):
     return batch / dt, dt
 
 
-def bench_train_step(cfg, iters=20):
+def bench_train_step(cfg, iters=12):
     from skyhdr.data.degradation import make_banks
     from skyhdr.models.vgg16 import random_vgg16_weights
     from skyhdr.train.engine import create_gan_state, make_gan_train_step
@@ -104,6 +104,10 @@ def main():
     _log("train step 32x128 b32 ...")
     train_tput, train_dt = bench_train_step(cfg)
     _log(f"  {train_tput:.1f} pano/s")
+    _log("train step 32x128 b32 bf16 ...")
+    cfg_bf16 = Config(model=ModelConfig(compute_dtype="bfloat16"))
+    train16_tput, train16_dt = bench_train_step(cfg_bf16)
+    _log(f"  {train16_tput:.1f} pano/s")
 
     cfg64 = Config(model=ModelConfig(im_height=64, im_width=256,
                                      use_da_conv=True),
@@ -124,6 +128,8 @@ def main():
             "inference_b1_ms": round(infer1_dt * 1e3, 3),
             "train_step_panoramas_per_s_b32": round(train_tput, 2),
             "train_step_ms_b32": round(train_dt * 1e3, 3),
+            "train_step_bf16_panoramas_per_s_b32": round(train16_tput, 2),
+            "train_step_bf16_ms_b32": round(train16_dt * 1e3, 3),
             "da_conv_64x256_infer_panoramas_per_s_b32": round(da_tput, 2),
             "tf_cpu_baseline_infer_32x128_b32": TF_CPU_BASELINE_INFER_32x128,
             "device": str(jax.devices()[0]),
