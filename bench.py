@@ -94,23 +94,32 @@ def bench_train_step(cfg, iters=12):
 
 
 def main():
+    import gc
+
     from skyhdr.config import Config, DataConfig, ModelConfig
 
     cfg = Config()
 
-    _log("inference 32x128 b32 ...")
-    infer_tput, infer_dt = bench_inference(cfg, batch=32)
-    _log(f"  {infer_tput:.1f} pano/s")
-    _log("inference 32x128 b1 ...")
-    infer1_tput, infer1_dt = bench_inference(cfg, batch=1, iters=50)
-    _log(f"  {infer1_tput:.1f} pano/s")
+    # Train benches run first on a clean HBM (leftover buffers from other
+    # stages have pushed the f32 step into a spill regime before).
     _log("train step 32x128 b32 ...")
     train_tput, train_dt = bench_train_step(cfg)
     _log(f"  {train_tput:.1f} pano/s")
+    gc.collect()
     _log("train step 32x128 b32 bf16 ...")
     cfg_bf16 = Config(model=ModelConfig(compute_dtype="bfloat16"))
     train16_tput, train16_dt = bench_train_step(cfg_bf16)
     _log(f"  {train16_tput:.1f} pano/s")
+    gc.collect()
+
+    _log("inference 32x128 b32 ...")
+    infer_tput, infer_dt = bench_inference(cfg, batch=32)
+    _log(f"  {infer_tput:.1f} pano/s")
+    gc.collect()
+    _log("inference 32x128 b1 ...")
+    infer1_tput, infer1_dt = bench_inference(cfg, batch=1, iters=50)
+    _log(f"  {infer1_tput:.1f} pano/s")
+    gc.collect()
 
     cfg64 = Config(model=ModelConfig(im_height=64, im_width=256,
                                      use_da_conv=True),
