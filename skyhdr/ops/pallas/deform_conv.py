@@ -57,33 +57,35 @@ def pallas_supported(x_shape, kernel_size: int = 3, stride: int = 1) -> bool:
             and _store_dtype(x_shape, kernel_size) is not None)
 
 
-def _kernel_body(k2: int, w: int, c: int, f: int,
+def _kernel_body(k2: int, rblk: int, w: int, c: int, f: int,
                  y0_ref, y1_ref, cx_ref, wy_ref, wx_ref,
                  x_ref, k_ref, out_ref, dbl_ref):
-    i = pl.program_id(1)
+    i0 = pl.program_id(1) * rblk
 
-    acc = jnp.zeros((w, f), jnp.float32)
-    for t in range(k2):
-        y0 = y0_ref[i, t]
-        y1 = y1_ref[i, t]
-        cx = cx_ref[i, t]
-        wy = wy_ref[i, t]
-        wx = wx_ref[i, t]
+    for r in range(rblk):  # static unroll; rblk kept tiny to bound VMEM
+        i = i0 + r
+        acc = jnp.zeros((w, f), jnp.float32)
+        for t in range(k2):
+            y0 = y0_ref[i, t]
+            y1 = y1_ref[i, t]
+            cx = cx_ref[i, t]
+            wy = wy_ref[i, t]
+            wx = wx_ref[i, t]
 
-        row0 = x_ref[0, y0, :, :].astype(jnp.float32)  # [w, c]
-        row1 = x_ref[0, y1, :, :].astype(jnp.float32)
-        rowy = (1.0 - wy) * row0 + wy * row1
-        # Doubled row in VMEM scratch: a dynamic-slice read of it IS the
-        # cyclic column shift.
-        dbl_ref[0:w, :] = rowy
-        dbl_ref[w:2 * w, :] = rowy
-        g0 = dbl_ref[pl.ds(cx, w), :]
-        g1 = dbl_ref[pl.ds(cx + 1, w), :]
-        sample = (1.0 - wx) * g0 + wx * g1
-        acc += jnp.dot(sample, k_ref[t * c:(t + 1) * c, :],
-                       preferred_element_type=jnp.float32)
+            row0 = x_ref[0, y0, :, :].astype(jnp.float32)  # [w, c]
+            row1 = x_ref[0, y1, :, :].astype(jnp.float32)
+            rowy = (1.0 - wy) * row0 + wy * row1
+            # Doubled row in VMEM scratch: a dynamic-slice read of it IS
+            # the cyclic column shift.
+            dbl_ref[0:w, :] = rowy
+            dbl_ref[w:2 * w, :] = rowy
+            g0 = dbl_ref[pl.ds(cx, w), :]
+            g1 = dbl_ref[pl.ds(cx + 1, w), :]
+            sample = (1.0 - wx) * g0 + wx * g1
+            acc += jnp.dot(sample, k_ref[t * c:(t + 1) * c, :],
+                           preferred_element_type=jnp.float32)
 
-    out_ref[0, 0] = acc.astype(out_ref.dtype)
+        out_ref[0, r] = acc.astype(out_ref.dtype)
 
 
 def _pallas_forward(x, kernel, *, kernel_size: int, dilation_rate: int,
@@ -97,21 +99,24 @@ def _pallas_forward(x, kernel, *, kernel_size: int, dilation_rate: int,
     xp = jnp.pad(x, ((0, 0), (t.pad, t.pad), (0, 0), (0, 0))).astype(store)
     h_pad = xp.shape[1]
 
+    rblk = 2 if h_out % 2 == 0 else 1
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(b, h_out),
+        grid=(b, h_out // rblk),
         in_specs=[
             pl.BlockSpec((1, h_pad, w, c), lambda bb, ii, *refs: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k2 * c, f), lambda bb, ii, *refs: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, w, f), lambda bb, ii, *refs: (bb, ii, 0, 0),
+        out_specs=pl.BlockSpec((1, rblk, w, f),
+                               lambda bb, ii, *refs: (bb, ii, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2 * w, c), jnp.float32)],
     )
 
-    body = functools.partial(_kernel_body, k2, w, c, f)
+    body = functools.partial(_kernel_body, k2, rblk, w, c, f)
     out = pl.pallas_call(
         body,
         grid_spec=grid_spec,
