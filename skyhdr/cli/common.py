@@ -38,6 +38,19 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         default=os.path.join(cwd, "vgg16.npy"))
     parser.add_argument("--da-conv", type=str2bool, default=False,
                         help="use the distortion-aware equirect conv")
+    parser.add_argument("--compute-dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="conv-stack compute dtype (radiance head, "
+                             "softmax and norms stay f32; bfloat16 is ~2.5x "
+                             "faster per train step on v5e)")
+    parser.add_argument("--streaming", type=str2bool, default=None,
+                        help="stream TFRecords with a windowed shuffle "
+                             "buffer instead of caching the split in RAM "
+                             "(default: auto — stream when the decoded "
+                             "split would exceed ~2 GB)")
+    parser.add_argument("--shuffle-buffer", type=int, default=10000,
+                        help="streaming shuffle window (reference "
+                             "train.py:129)")
     parser.add_argument("--workdir", type=str, default=cwd)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ckpt-every", type=int, default=10,
@@ -49,7 +62,9 @@ def add_common_flags(parser: argparse.ArgumentParser):
 def config_from_args(args) -> Config:
     return Config(
         model=ModelConfig(im_height=args.imheight, im_width=args.imwidth,
-                          use_da_conv=getattr(args, "da_conv", False)),
+                          use_da_conv=getattr(args, "da_conv", False),
+                          compute_dtype=getattr(args, "compute_dtype",
+                                                "float32")),
         data=DataConfig(batch_size=args.batchsize,
                         dataset_dir=args.dir or os.path.join(
                             args.workdir,
@@ -59,6 +74,41 @@ def config_from_args(args) -> Config:
                           ckpt_every_epochs=getattr(args, "ckpt_every", 10),
                           seed=args.seed),
     )
+
+
+_STREAM_THRESHOLD_BYTES = 2 << 30  # cache below ~2 GB decoded, stream above
+
+
+def make_dataset(args, cfg: Config, split_dir: str, *, shuffle: bool,
+                 seed: int = 0, log=print):
+    """Build the input dataset for one split: the in-RAM cached
+    PanoramaDataset for small splits, the constant-memory
+    StreamingPanoramaDataset (windowed shuffle buffer, per-process file
+    sharding) when the decoded split would not fit comfortably or when
+    --streaming true is passed."""
+    import glob as _glob
+
+    from skyhdr.data.pipeline import PanoramaDataset, StreamingPanoramaDataset
+
+    streaming = getattr(args, "streaming", None)
+    if streaming is None:
+        h, w, c = cfg.model.imshape
+        # Compressed tfrecords decode to h*w*c f32; estimate from file count
+        # is unreliable (one record per file in the reference layout), so
+        # size the raw bytes on disk ~= decoded bytes / (gzip ratio ~2).
+        disk = sum(os.path.getsize(p) for p in
+                   _glob.glob(os.path.join(split_dir, "*.tfrecord")))
+        streaming = disk * 2 > _STREAM_THRESHOLD_BYTES
+    if streaming:
+        log(f"[skyhdr] streaming {split_dir} "
+            f"(shuffle buffer {getattr(args, 'shuffle_buffer', 10000)})")
+        return StreamingPanoramaDataset(
+            split_dir, imshape=cfg.model.imshape,
+            batch_size=cfg.data.batch_size, shuffle=shuffle,
+            shuffle_buffer=getattr(args, "shuffle_buffer", 10000), seed=seed)
+    return PanoramaDataset(split_dir, imshape=cfg.model.imshape,
+                           batch_size=cfg.data.batch_size, shuffle=shuffle,
+                           seed=seed)
 
 
 def load_banks(cfg: Config, dorf_path: str, train: bool = True,

@@ -59,7 +59,12 @@ def main(argv=None):
 
     @jax.jit
     def eval_one(gen_vars, sun_vars, key, hdr):
-        hdr_t, ldr = degrade_batch(key, hdr, banks)
+        hdr_t, ldr = degrade_batch(
+            key, hdr, banks,
+            jpeg_lo=cfg.data.jpeg_quality_lo, jpeg_hi=cfg.data.jpeg_quality_hi,
+            sigma_s_scale=cfg.data.sigma_s_scale,
+            sigma_c_scale=cfg.data.sigma_c_scale,
+            chroma_subsample=cfg.data.jpeg_chroma_subsample)
         pred = infer(gen_vars, sun_vars, ldr)["y_final_lin"]
         return evaluate_batch(pred, hdr_t), (ldr, pred, hdr_t)
 

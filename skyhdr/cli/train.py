@@ -12,8 +12,7 @@ import os
 import jax
 
 from skyhdr.cli.common import (add_common_flags, config_from_args, load_banks,
-                               load_vgg)
-from skyhdr.data.pipeline import PanoramaDataset
+                               load_vgg, make_dataset)
 from skyhdr.train.engine import (create_gan_state, make_gan_eval_step,
                                  make_gan_train_step)
 from skyhdr.train.loop import TrainLoop
@@ -34,13 +33,12 @@ def main(argv=None):
     banks_train = load_banks(cfg, args.dorf, train=True)
     vgg = load_vgg(args.vgg)
 
-    train_ds = PanoramaDataset(os.path.join(cfg.data.dataset_dir, "train"),
-                               imshape=cfg.model.imshape,
-                               batch_size=cfg.data.batch_size, shuffle=True,
-                               seed=args.seed)
-    test_ds = PanoramaDataset(os.path.join(cfg.data.dataset_dir, "test"),
-                              imshape=cfg.model.imshape,
-                              batch_size=cfg.data.batch_size, shuffle=False)
+    train_ds = make_dataset(args, cfg,
+                            os.path.join(cfg.data.dataset_dir, "train"),
+                            shuffle=True, seed=args.seed)
+    test_ds = make_dataset(args, cfg,
+                           os.path.join(cfg.data.dataset_dir, "test"),
+                           shuffle=False)
 
     state = create_gan_state(cfg, jax.random.PRNGKey(args.seed))
 

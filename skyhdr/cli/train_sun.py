@@ -17,8 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from skyhdr.cli.common import (add_common_flags, config_from_args, load_banks,
-                               str2bool)
-from skyhdr.data.pipeline import PanoramaDataset
+                               make_dataset, str2bool)
 from skyhdr.train.engine import (create_sun_state, make_sun_eval_step,
                                  make_sun_train_step)
 from skyhdr.train.loop import TrainLoop
@@ -39,13 +38,12 @@ def main(argv=None):
     banks = load_banks(cfg, args.dorf, train=True)
 
     if args.train:
-        train_ds = PanoramaDataset(os.path.join(cfg.data.dataset_dir, "train"),
-                                   imshape=cfg.model.imshape,
-                                   batch_size=cfg.data.batch_size,
-                                   shuffle=True, seed=args.seed)
-        test_ds = PanoramaDataset(os.path.join(cfg.data.dataset_dir, "test"),
-                                  imshape=cfg.model.imshape,
-                                  batch_size=cfg.data.batch_size, shuffle=False)
+        train_ds = make_dataset(args, cfg,
+                                os.path.join(cfg.data.dataset_dir, "train"),
+                                shuffle=True, seed=args.seed)
+        test_ds = make_dataset(args, cfg,
+                               os.path.join(cfg.data.dataset_dir, "test"),
+                               shuffle=False)
         state = create_sun_state(cfg, jax.random.PRNGKey(args.seed))
         train_step = make_sun_train_step(cfg, banks)
         eval_step = make_sun_eval_step(cfg, load_banks(cfg, args.dorf,

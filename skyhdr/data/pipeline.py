@@ -17,13 +17,16 @@ compute (the reference's prefetch(AUTOTUNE) equivalent).
 
 from __future__ import annotations
 
+import glob
+import os
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from skyhdr.data.records import read_tfrecord_examples
+from skyhdr.data.records import iter_tfrecord, read_tfrecord_examples
+from skyhdr.data.records import decode_example
 
 
 def prepare_sample(example: Dict, imshape: Tuple[int, int, int]):
@@ -105,6 +108,110 @@ class PanoramaDataset:
             if batch_h and not self.drop_remainder:
                 yield {"hdr": np.stack(batch_h),
                        "elevation": np.asarray(batch_e, np.float32)}
+
+
+def _resolve_files(path_or_dir: str) -> List[str]:
+    if os.path.isdir(path_or_dir):
+        return sorted(glob.glob(os.path.join(path_or_dir, "*.tfrecord")))
+    if any(ch in path_or_dir for ch in "*?["):
+        return sorted(glob.glob(path_or_dir))
+    return [path_or_dir]
+
+
+class StreamingPanoramaDataset:
+    """Constant-memory TFRecord streamer with a windowed shuffle buffer.
+
+    Reference semantics (train.py:119-131): TFRecordDataset over the file
+    glob, shuffle(10000), batch(drop_remainder=True). Memory stays at
+    `shuffle_buffer` decoded samples regardless of split size — the 30k-image
+    Laval training split (~6 GB decoded at 64x256) never lives in host RAM
+    at once, unlike the cached PanoramaDataset.
+
+    Multi-host sharded reading: pass process_index/process_count (defaults
+    read jax.process_index()/count() lazily) and each process reads the
+    files[i::n] subset — disjoint per-process sample streams for
+    data-parallel training, which the reference (single-process) lacks.
+
+    The shuffle algorithm is tf.data's: keep a buffer of `shuffle_buffer`
+    samples, emit a uniformly random element and refill from the stream;
+    file order is also reshuffled each epoch.
+    """
+
+    def __init__(self, tfrecord_dir: str, imshape=(32, 128, 3),
+                 batch_size: int = 32, shuffle: bool = True,
+                 shuffle_buffer: int = 10000, seed: int = 0,
+                 drop_remainder: bool = True,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        self.imshape = tuple(imshape)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.shuffle_buffer = max(1, shuffle_buffer)
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        all_files = _resolve_files(tfrecord_dir)
+        if not all_files:
+            raise FileNotFoundError(f"no .tfrecord files under {tfrecord_dir}")
+        self.files = all_files[process_index::process_count]
+        self._n_samples: Optional[int] = None
+
+    def _count(self) -> int:
+        if self._n_samples is None:
+            self._n_samples = sum(
+                1 for p in self.files for _ in iter_tfrecord(p)
+            )
+        return self._n_samples
+
+    def __len__(self) -> int:
+        n = self._count()
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _sample_stream(self, rng) -> Iterator[Tuple[np.ndarray, float]]:
+        files = list(self.files)
+        if self.shuffle:
+            rng.shuffle(files)
+        for path in files:
+            for record in iter_tfrecord(path):
+                yield prepare_sample(decode_example(record), self.imshape)
+
+    def _shuffled_stream(self, rng) -> Iterator[Tuple[np.ndarray, float]]:
+        if not self.shuffle:
+            yield from self._sample_stream(rng)
+            return
+        buf: List[Tuple[np.ndarray, float]] = []
+        for sample in self._sample_stream(rng):
+            if len(buf) < self.shuffle_buffer:
+                buf.append(sample)
+                continue
+            j = int(rng.integers(len(buf)))
+            out, buf[j] = buf[j], sample
+            yield out
+        order = rng.permutation(len(buf))
+        for j in order:
+            yield buf[j]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # Child generator draws from self._rng so each epoch reshuffles.
+        rng = self._rng
+        batch_h: List[np.ndarray] = []
+        batch_e: List[float] = []
+        for hdr, elev in self._shuffled_stream(rng):
+            batch_h.append(hdr)
+            batch_e.append(elev)
+            if len(batch_h) == self.batch_size:
+                yield {"hdr": np.stack(batch_h),
+                       "elevation": np.asarray(batch_e, np.float32)}
+                batch_h, batch_e = [], []
+        if batch_h and not self.drop_remainder:
+            yield {"hdr": np.stack(batch_h),
+                   "elevation": np.asarray(batch_e, np.float32)}
 
 
 def prefetch_to_device(iterator, size: int = 2, device_put=None):

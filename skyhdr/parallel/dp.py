@@ -37,9 +37,9 @@ def make_parallel_gan_train_step(cfg: Config, banks: DegradationBanks,
     rep = NamedSharding(mesh, P())
     batch_sh = _shardings_for_batch(mesh, shard_width)
 
-    base = make_gan_train_step(cfg, banks, vgg_weights)
-    # Re-jit the underlying python step with explicit shardings.
-    raw_step = base.__wrapped__ if hasattr(base, "__wrapped__") else base
+    # Build the raw python step (jit=False) and jit it once with explicit
+    # shardings — never unwrap a jitted callable.
+    raw_step = make_gan_train_step(cfg, banks, vgg_weights, jit=False)
 
     step = jax.jit(
         raw_step,
@@ -58,8 +58,7 @@ def make_parallel_sun_train_step(cfg: Config, banks: DegradationBanks,
                                  mesh: Mesh):
     rep = NamedSharding(mesh, P())
     batch_sh = _shardings_for_batch(mesh)
-    base = make_sun_train_step(cfg, banks)
-    raw_step = base.__wrapped__ if hasattr(base, "__wrapped__") else base
+    raw_step = make_sun_train_step(cfg, banks, jit=False)
     step = jax.jit(
         raw_step,
         in_shardings=(rep, batch_sh, rep),

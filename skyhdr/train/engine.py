@@ -111,6 +111,19 @@ def create_sun_state(cfg: Config, rng) -> SunState:
                     step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32))
 
 
+def _degrade(cfg: Config, banks: DegradationBanks, key, hdr):
+    """Single point applying DataConfig's degradation knobs — train, eval and
+    sun steps must all draw from the same input distribution (a round-1
+    review found eval/sun steps silently dropping sigma_{s,c}_scale)."""
+    return degrade_batch(
+        key, hdr, banks,
+        jpeg_lo=cfg.data.jpeg_quality_lo, jpeg_hi=cfg.data.jpeg_quality_hi,
+        sigma_s_scale=cfg.data.sigma_s_scale,
+        sigma_c_scale=cfg.data.sigma_c_scale,
+        chroma_subsample=cfg.data.jpeg_chroma_subsample,
+    )
+
+
 def _sunpose_gt_from_elevation(cfg: Config, elevation):
     """vMF GT on device; azimuth pinned to the center column
     (train.py:32,112: loadLavalSkyDB rolled the sun there)."""
@@ -230,13 +243,7 @@ def make_gan_train_step(cfg: Config, banks: DegradationBanks, vgg_weights,
 
     def step(state: GanState, batch, key):
         sunpose_gt = _sunpose_gt_from_elevation(cfg, batch["elevation"])
-        hdr_t, ldr = degrade_batch(
-            key, batch["hdr"], banks,
-            jpeg_lo=cfg.data.jpeg_quality_lo, jpeg_hi=cfg.data.jpeg_quality_hi,
-            sigma_s_scale=cfg.data.sigma_s_scale,
-            sigma_c_scale=cfg.data.sigma_c_scale,
-            chroma_subsample=cfg.data.jpeg_chroma_subsample,
-        )
+        hdr_t, ldr = _degrade(cfg, banks, key, batch["hdr"])
 
         def gen_loss_fn(trainable):
             gen_p, sun_p = trainable
@@ -297,11 +304,7 @@ def make_gan_eval_step(cfg: Config, banks: DegradationBanks, vgg_weights):
 
     def step(state: GanState, batch, key):
         sunpose_gt = _sunpose_gt_from_elevation(cfg, batch["elevation"])
-        hdr_t, ldr = degrade_batch(
-            key, batch["hdr"], banks,
-            jpeg_lo=cfg.data.jpeg_quality_lo, jpeg_hi=cfg.data.jpeg_quality_hi,
-            chroma_subsample=cfg.data.jpeg_chroma_subsample,
-        )
+        hdr_t, ldr = _degrade(cfg, banks, key, batch["hdr"])
         total, aux = generator_forward(
             cfg, gen, sun, disc, state.gen_vars, state.sun_vars,
             state.disc_vars, ldr, hdr_t, sunpose_gt, vgg_weights, train=False,
@@ -346,10 +349,7 @@ def make_sun_train_step(cfg: Config, banks: DegradationBanks,
 
     def step(state: SunState, batch, key):
         sunpose_gt = _sunpose_gt_from_elevation(cfg, batch["elevation"])
-        _, ldr = degrade_batch(key, batch["hdr"], banks,
-                               jpeg_lo=cfg.data.jpeg_quality_lo,
-                               jpeg_hi=cfg.data.jpeg_quality_hi,
-                               chroma_subsample=cfg.data.jpeg_chroma_subsample)
+        _, ldr = _degrade(cfg, banks, key, batch["hdr"])
 
         def loss_fn(params):
             total, aux = _sun_losses(cfg, sun, {"params": params}, ldr,
@@ -374,10 +374,7 @@ def make_sun_eval_step(cfg: Config, banks: DegradationBanks):
 
     def step(state: SunState, batch, key):
         sunpose_gt = _sunpose_gt_from_elevation(cfg, batch["elevation"])
-        _, ldr = degrade_batch(key, batch["hdr"], banks,
-                               jpeg_lo=cfg.data.jpeg_quality_lo,
-                               jpeg_hi=cfg.data.jpeg_quality_hi,
-                               chroma_subsample=cfg.data.jpeg_chroma_subsample)
+        _, ldr = _degrade(cfg, banks, key, batch["hdr"])
         total, (kl, dog, pred_img, gt_img, cams) = _sun_losses(
             cfg, sun, state.sun_vars, ldr, sunpose_gt
         )

@@ -145,3 +145,32 @@ def test_inference_fn(cfg, batch):
     assert out["y_final_lin"].shape == ldr.shape
     assert bool(jnp.all(jnp.isfinite(out["y_final_lin"])))
     assert float(out["alpha"].min()) >= 0.0 and float(out["alpha"].max()) <= 1.0
+
+
+def test_sigma_scales_honored_in_eval_and_sun_steps(cfg, banks, batch):
+    """Regression (round-1 review): eval and sun steps used to drop
+    DataConfig.sigma_{s,c}_scale, so non-default noise settings applied to
+    the GAN train step only. Changing the scales must change every step's
+    degraded input (observable through the metrics)."""
+    import dataclasses
+    noisy_cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, sigma_s_scale=2.0, sigma_c_scale=1.0)
+    )
+    key = jax.random.PRNGKey(7)
+
+    gstate = create_gan_state(cfg, jax.random.PRNGKey(0))
+    vgg = random_vgg16_weights()
+    base_m, _ = make_gan_eval_step(cfg, banks, vgg)(gstate, batch, key)
+    noisy_m, _ = make_gan_eval_step(noisy_cfg, banks, vgg)(gstate, batch, key)
+    assert float(base_m["l1"]) != float(noisy_m["l1"])
+
+    sstate = create_sun_state(cfg, jax.random.PRNGKey(0))
+    base_s, _ = make_sun_eval_step(cfg, banks)(sstate, batch, key)
+    noisy_s, _ = make_sun_eval_step(noisy_cfg, banks)(sstate, batch, key)
+    assert float(base_s["kl"]) != float(noisy_s["kl"])
+
+    _, strain_b = make_sun_train_step(cfg, banks)(
+        create_sun_state(cfg, jax.random.PRNGKey(0)), batch, key)
+    _, strain_n = make_sun_train_step(noisy_cfg, banks)(
+        create_sun_state(cfg, jax.random.PRNGKey(0)), batch, key)
+    assert float(strain_b["kl"]) != float(strain_n["kl"])
