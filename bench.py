@@ -148,6 +148,76 @@ def bench_train_step(cfg, iters=12, repeats=3):
     }
 
 
+def bench_sun_train_step(cfg, iters=12, repeats=3):
+    """pretrain_sun config (BASELINE.json config 2): sun-pose train step."""
+    from skyhdr.data.degradation import make_banks
+    from skyhdr.train.engine import create_sun_state, make_sun_train_step
+    from skyhdr.utils.io import get_exposure_lists, make_synthetic_dorf
+
+    banks = make_banks(make_synthetic_dorf(175, 1024), get_exposure_lists()[0])
+    step = make_sun_train_step(cfg, banks, jit=False)
+    step = jax.jit(step, donate_argnums=(0,))
+    b = cfg.data.batch_size
+    shape = (b, cfg.model.im_height, cfg.model.im_width, 3)
+
+    def one_pass(r):
+        state = create_sun_state(cfg, jax.random.PRNGKey(r))
+        rng = np.random.default_rng(3000 + r)
+        batches = [{
+            "hdr": jnp.asarray(rng.uniform(0, 2, size=shape).astype(np.float32)),
+            "elevation": jnp.asarray(
+                np.linspace(4, 28, b).astype(np.float32) + r),
+        } for _ in range(iters)]
+        jax.block_until_ready(batches)
+        keys = jax.random.split(jax.random.PRNGKey(200 + r), iters)
+        state, _ = step(state, batches[0], keys[0])
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for bt, k in zip(batches, keys):
+            state, metrics = step(state, bt, k)
+        jax.block_until_ready(metrics["sun_total"])
+        return (time.perf_counter() - t0) / iters
+
+    times = [one_pass(r) for r in range(repeats)]
+    dt = min(times)
+    return {"panoramas_per_s": b / dt, "ms": dt * 1e3,
+            "spread_ms": [round(t * 1e3, 3) for t in times], "mfu": None}
+
+
+def bench_eval_pipeline(cfg, iters=12, repeats=3):
+    """Batched eval pipeline (BASELINE.json config 5): degrade -> reconstruct
+    -> PSNR/si-RMSE/EMD metrics, one jitted graph per batch."""
+    from skyhdr.data.degradation import degrade_batch, make_banks
+    from skyhdr.train.engine import create_gan_state, make_inference_fn
+    from skyhdr.train.evaluation import evaluate_batch
+    from skyhdr.utils.io import get_exposure_lists, make_synthetic_dorf
+
+    banks = make_banks(make_synthetic_dorf(26, 1024), get_exposure_lists()[1])
+    state = create_gan_state(cfg, jax.random.PRNGKey(0))
+    infer = make_inference_fn(cfg, jit=False)
+    b = cfg.data.batch_size
+    shape = (b, cfg.model.im_height, cfg.model.im_width, 3)
+
+    @jax.jit
+    def eval_one(key, hdr):
+        hdr_t, ldr = degrade_batch(key, hdr, banks)
+        pred = infer(state.gen_vars, state.sun_vars, ldr)["y_final_lin"]
+        return evaluate_batch(pred, hdr_t)
+
+    def make_inputs(r):
+        rng = np.random.default_rng(4000 + r)
+        keys = jax.random.split(jax.random.PRNGKey(300 + r), iters)
+        return [(k, jnp.asarray(rng.uniform(0, 2, size=shape)
+                                .astype(np.float32))) for k in keys]
+
+    def fn(inp):
+        return eval_one(*inp)
+
+    dt, spread = _repeat_min(make_inputs, fn, repeats)
+    return {"panoramas_per_s": b / dt, "ms": dt * 1e3,
+            "spread_ms": [round(t * 1e3, 3) for t in spread], "mfu": None}
+
+
 def main():
     import gc
 
@@ -176,9 +246,12 @@ def main():
     train16 = run("train step 32x128 b32 bf16",
                   lambda: bench_train_step(cfg_bf16))
 
+    sun = run("sun-pretrain step 32x128 b32", lambda: bench_sun_train_step(cfg))
+
     infer = run("inference 32x128 b32", lambda: bench_inference(cfg, 32))
     infer1 = run("inference 32x128 b1",
                  lambda: bench_inference(cfg, 1, iters=50))
+    evalp = run("eval pipeline 32x128 b32", lambda: bench_eval_pipeline(cfg))
 
     cfg64 = Config(model=ModelConfig(im_height=64, im_width=256,
                                      use_da_conv=True),
@@ -203,8 +276,10 @@ def main():
 
     put("train_step_b32", train)
     put("train_step_bf16_b32", train16)
+    put("sun_train_step_b32", sun)
     put("inference_b32", infer)
     put("inference_b1", infer1)
+    put("eval_pipeline_b32", evalp)
     put("da_conv_64x256_infer_b32", da)
     put("da_conv_64x256_train_b8", da_train)
     extras["tf_cpu_baseline_infer_32x128_b32"] = TF_CPU_BASELINE_INFER_32x128

@@ -142,6 +142,52 @@ def gather_tables(h: int, w: int, kernel_size: int = 3, stride: int = 1,
     )
 
 
+class ScatterTables(NamedTuple):
+    """Static inverse of GatherTables: for every *input* row y (unpadded
+    coordinates), the padded list of forward references (i, tap) that read
+    it, with their interpolation weights. Turns the adjoint's row
+    scatter-add into a per-input-row gather — the TPU-friendly form of the
+    DA-conv backward (scatters don't vectorize on TPU; gathers with static
+    tables do). max refs/row is 21 for k=3 at every supported resolution.
+    """
+
+    ri: np.ndarray   # [h, R] int32 — forward output row i
+    rt: np.ndarray   # [h, R] int32 — tap index
+    rw: np.ndarray   # [h, R] f32 — row weight: (1-wy) if y==y0 else wy; 0=pad
+    rcx: np.ndarray  # [h, R] int32 — column shift cx0(i, tap)
+    rwx: np.ndarray  # [h, R] f32 — column fraction wx(i, tap)
+    nrefs: int
+
+
+@functools.lru_cache(maxsize=None)
+def scatter_tables(h: int, w: int, kernel_size: int = 3, stride: int = 1,
+                   dilation_rate: int = 1, skydome: bool = True) -> ScatterTables:
+    t = gather_tables(h, w, kernel_size, stride, dilation_rate, skydome)
+    h_out = t.y0.shape[0]
+    k2 = kernel_size * kernel_size
+    refs = [[] for _ in range(h)]  # unpadded row index
+    for i in range(h_out):
+        for tap in range(k2):
+            wy = float(t.wy[i, tap])
+            for y_pad, wgt in ((int(t.y0[i, tap]), 1.0 - wy),
+                               (int(t.y1[i, tap]), wy)):
+                y = y_pad - t.pad
+                if 0 <= y < h and wgt != 0.0:
+                    refs[y].append((i, tap, wgt,
+                                    int(t.cx0[i, tap]), float(t.wx[i, tap])))
+    nrefs = max(len(r) for r in refs)
+    ri = np.zeros((h, nrefs), np.int32)
+    rt = np.zeros((h, nrefs), np.int32)
+    rw = np.zeros((h, nrefs), np.float32)
+    rcx = np.zeros((h, nrefs), np.int32)
+    rwx = np.zeros((h, nrefs), np.float32)
+    for y, lst in enumerate(refs):
+        for r, (i, tap, wgt, cx, wx) in enumerate(lst):
+            ri[y, r], rt[y, r], rw[y, r], rcx[y, r], rwx[y, r] = (
+                i, tap, wgt, cx, wx)
+    return ScatterTables(ri=ri, rt=rt, rw=rw, rcx=rcx, rwx=rwx, nrefs=nrefs)
+
+
 def deformable_conv2d(x, kernel, bias, *, kernel_size: int = 3, stride: int = 1,
                       dilation_rate: int = 1, skydome: bool = True,
                       col_start=None, out_cols: int = None):

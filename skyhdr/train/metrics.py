@@ -20,23 +20,32 @@ from skyhdr.data.records import _frame_record, _len_delim, _tag, _varint
 
 
 class MeanMetrics:
-    """Per-key running means, reset per epoch."""
+    """Per-key running means, reset per epoch.
+
+    update() is LAZY: device scalars are appended without conversion so the
+    step loop never blocks on a device->host transfer (on the tunneled TPU a
+    per-step float() costs a full relay round-trip — it serialized training
+    at ~1 s/step before this). result() fetches everything in one
+    device_get.
+    """
 
     def __init__(self):
-        self._sum: Dict[str, float] = {}
-        self._count: Dict[str, int] = {}
+        self._vals: Dict[str, list] = {}
 
     def update(self, values: Dict[str, float]) -> None:
         for k, v in values.items():
-            self._sum[k] = self._sum.get(k, 0.0) + float(v)
-            self._count[k] = self._count.get(k, 0) + 1
+            self._vals.setdefault(k, []).append(v)
 
     def result(self) -> Dict[str, float]:
-        return {k: self._sum[k] / max(self._count[k], 1) for k in self._sum}
+        import jax
+        import numpy as np
+
+        host = jax.device_get(self._vals)
+        return {k: float(np.mean(np.asarray(vs, dtype=np.float64)))
+                for k, vs in host.items() if vs}
 
     def reset(self) -> None:
-        self._sum.clear()
-        self._count.clear()
+        self._vals.clear()
 
 
 def _encode_event(wall_time: float, step: int, tag: str = None,

@@ -171,6 +171,340 @@ def forward_b(x, kernel, *, kernel_size=3, dilation_rate=1, skydome=True,
       jnp.asarray(t.wy), jnp.asarray(t.wx), xd, kernel.astype(jnp.float32))
 
 
+
+# --------------------------------------------------------------------------
+# Variant C: pltpu.roll dynamic cyclic shift on the UNDOUBLED image — no
+# scratch writes, taps fully independent (ILP), f32 storage fits VMEM.
+# c{n}  : per-row accumulate, rblk rows unrolled per grid step
+# cs{n} : samples staged to [rblk*w, k2*c] scratch, ONE matmul per step
+# --------------------------------------------------------------------------
+
+def _kernel_c(k2, rblk, w, c, f,
+              y0_ref, y1_ref, sh_ref, wy_ref, wx_ref,
+              x_ref, k_ref, out_ref):
+    i0 = pl.program_id(1) * rblk
+    for r in range(rblk):
+        i = i0 + r
+        acc = jnp.zeros((w, f), jnp.float32)
+        for t in range(k2):
+            y0 = y0_ref[i, t]
+            y1 = y1_ref[i, t]
+            sh = sh_ref[i, t]  # (w - cx) % w, precomputed on host
+            wy = wy_ref[i, t]
+            wx = wx_ref[i, t]
+            row0 = x_ref[0, y0, :, :].astype(jnp.float32)
+            row1 = x_ref[0, y1, :, :].astype(jnp.float32)
+            rowy = (1.0 - wy) * row0 + wy * row1
+            g0 = pltpu.roll(rowy, sh, 0)        # g0[j] = rowy[(j+cx) mod w]
+            g1 = pltpu.roll(g0, w - 1, 0)       # static extra shift by -1
+            sample = (1.0 - wx) * g0 + wx * g1
+            acc += jnp.dot(sample, k_ref[t * c:(t + 1) * c, :],
+                           preferred_element_type=jnp.float32)
+        out_ref[0, r] = acc.astype(out_ref.dtype)
+
+
+def _kernel_cs(k2, rblk, w, c, f,
+               y0_ref, y1_ref, sh_ref, wy_ref, wx_ref,
+               x_ref, k_ref, out_ref, smp_ref):
+    i0 = pl.program_id(1) * rblk
+    for r in range(rblk):
+        i = i0 + r
+        for t in range(k2):
+            y0 = y0_ref[i, t]
+            y1 = y1_ref[i, t]
+            sh = sh_ref[i, t]
+            wy = wy_ref[i, t]
+            wx = wx_ref[i, t]
+            row0 = x_ref[0, y0, :, :].astype(jnp.float32)
+            row1 = x_ref[0, y1, :, :].astype(jnp.float32)
+            rowy = (1.0 - wy) * row0 + wy * row1
+            g0 = pltpu.roll(rowy, sh, 0)
+            g1 = pltpu.roll(g0, w - 1, 0)
+            smp_ref[r * w:(r + 1) * w, t * c:(t + 1) * c] = (
+                (1.0 - wx) * g0 + wx * g1)
+    out = jnp.dot(smp_ref[...], k_ref[...], preferred_element_type=jnp.float32)
+    out_ref[0] = out.reshape(rblk, w, f).astype(out_ref.dtype)
+
+
+def forward_c(x, kernel, *, kernel_size=3, dilation_rate=1, skydome=True,
+              rblk=2, store=jnp.float32, staged=False, semantics=None):
+    b, h, w, c = x.shape
+    k2 = kernel_size * kernel_size
+    f = kernel.shape[-1]
+    t = gather_tables(h, w, kernel_size, 1, dilation_rate, skydome)
+    h_out = t.y0.shape[0]
+    xp = jnp.pad(x, ((0, 0), (t.pad, t.pad), (0, 0), (0, 0))).astype(store)
+    h_pad = xp.shape[1]
+    assert h_out % rblk == 0
+    shifts = ((w - t.cx0.astype(np.int64)) % w).astype(np.int32)
+
+    scratch = ([pltpu.VMEM((rblk * w, k2 * c), jnp.float32)] if staged else [])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b, h_out // rblk),
+        in_specs=[
+            pl.BlockSpec((1, h_pad, w, c), lambda bb, ii, *r: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2 * c, f), lambda bb, ii, *r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rblk, w, f),
+                               lambda bb, ii, *r: (bb, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    kwargs = {}
+    if semantics is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=semantics)
+    body = functools.partial(_kernel_cs if staged else _kernel_c,
+                             k2, rblk, w, c, f)
+    return pl.pallas_call(
+        body, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w, f), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h_out * w * k2 * c * f,
+            bytes_accessed=b * h_pad * w * c * 4 + b * h_out * w * f * 4,
+            transcendentals=0),
+        **kwargs,
+    )(jnp.asarray(t.y0), jnp.asarray(t.y1), jnp.asarray(shifts),
+      jnp.asarray(t.wy), jnp.asarray(t.wx), xp, kernel.astype(jnp.float32))
+
+
+
+# --------------------------------------------------------------------------
+# Diagnostic kernels: isolate the cost of each stage at rblk=2.
+#   d_noroll : loads + y-interp + matmul, NO column rolls
+#   d_nomm   : loads + y-interp + rolls, NO matmul (accumulate on VPU)
+#   d_mmonly : single row load + matmul only (no interp, no rolls)
+# --------------------------------------------------------------------------
+
+def _kernel_diag(mode, k2, rblk, w, c, f,
+                 y0_ref, y1_ref, sh_ref, wy_ref, wx_ref,
+                 x_ref, k_ref, out_ref):
+    i0 = pl.program_id(1) * rblk
+    for r in range(rblk):
+        i = i0 + r
+        acc = jnp.zeros((w, f), jnp.float32)
+        vacc = jnp.zeros((w, c), jnp.float32)
+        for t in range(k2):
+            y0 = y0_ref[i, t]
+            y1 = y1_ref[i, t]
+            sh = sh_ref[i, t]
+            wy = wy_ref[i, t]
+            wx = wx_ref[i, t]
+            if mode == "mmonly":
+                row0 = x_ref[0, y0, :, :].astype(jnp.float32)
+                acc += jnp.dot(row0, k_ref[t * c:(t + 1) * c, :],
+                               preferred_element_type=jnp.float32)
+                continue
+            if mode == "mmbf16":
+                row0 = x_ref[0, y0, :, :]  # stays bf16
+                acc += jnp.dot(row0, k_ref[t * c:(t + 1) * c, :].astype(
+                    jnp.bfloat16), preferred_element_type=jnp.float32)
+                continue
+            if mode == "fullbf16":
+                row0 = x_ref[0, y0, :, :]
+                row1 = x_ref[0, y1, :, :]
+                rowy = ((1.0 - wy) * row0.astype(jnp.float32)
+                        + wy * row1.astype(jnp.float32))
+                g0 = pltpu.roll(rowy, sh, 0)
+                g1 = pltpu.roll(g0, w - 1, 0)
+                sample = ((1.0 - wx) * g0 + wx * g1).astype(jnp.bfloat16)
+                acc += jnp.dot(sample, k_ref[t * c:(t + 1) * c, :].astype(
+                    jnp.bfloat16), preferred_element_type=jnp.float32)
+                continue
+            row0 = x_ref[0, y0, :, :].astype(jnp.float32)
+            row1 = x_ref[0, y1, :, :].astype(jnp.float32)
+            rowy = (1.0 - wy) * row0 + wy * row1
+            if mode == "noroll":
+                sample = rowy
+            else:
+                g0 = pltpu.roll(rowy, sh, 0)
+                g1 = pltpu.roll(g0, w - 1, 0)
+                sample = (1.0 - wx) * g0 + wx * g1
+            if mode == "nomm":
+                vacc += sample
+            else:
+                acc += jnp.dot(sample, k_ref[t * c:(t + 1) * c, :],
+                               preferred_element_type=jnp.float32)
+        if mode == "nomm":
+            out_ref[0, r] = vacc[:, :f].astype(out_ref.dtype)
+        else:
+            out_ref[0, r] = acc.astype(out_ref.dtype)
+
+
+
+def _kernel_prodbf16(k2, rblk, w, c, f,
+                     y0_ref, y1_ref, cx_ref, wy_ref, wx_ref,
+                     x_ref, k_ref, out_ref, dbl_ref):
+    i0 = pl.program_id(1) * rblk
+    for r in range(rblk):
+        i = i0 + r
+        acc = jnp.zeros((w, f), jnp.float32)
+        for t in range(k2):
+            y0 = y0_ref[i, t]
+            y1 = y1_ref[i, t]
+            cx = cx_ref[i, t]
+            wy = wy_ref[i, t]
+            wx = wx_ref[i, t]
+            row0 = x_ref[0, y0, :, :].astype(jnp.float32)
+            row1 = x_ref[0, y1, :, :].astype(jnp.float32)
+            rowy = (1.0 - wy) * row0 + wy * row1
+            dbl_ref[0:w, :] = rowy
+            dbl_ref[w:2 * w, :] = rowy
+            g0 = dbl_ref[pl.ds(cx, w), :]
+            g1 = dbl_ref[pl.ds(cx + 1, w), :]
+            sample = ((1.0 - wx) * g0 + wx * g1).astype(jnp.bfloat16)
+            acc += jnp.dot(sample,
+                           k_ref[t * c:(t + 1) * c, :].astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        out_ref[0, r] = acc.astype(out_ref.dtype)
+
+
+def forward_prodbf16(x, kernel, *, rblk=2, store=jnp.bfloat16):
+    b, h, w, c = x.shape
+    k2, f = 9, kernel.shape[-1]
+    t = gather_tables(h, w, 3, 1, 1, True)
+    h_out = t.y0.shape[0]
+    xp = jnp.pad(x, ((0, 0), (t.pad, t.pad), (0, 0), (0, 0))).astype(store)
+    h_pad = xp.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b, h_out // rblk),
+        in_specs=[
+            pl.BlockSpec((1, h_pad, w, c), lambda bb, ii, *r: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2 * c, f), lambda bb, ii, *r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rblk, w, f),
+                               lambda bb, ii, *r: (bb, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * w, c), jnp.float32)],
+    )
+    body = functools.partial(_kernel_prodbf16, k2, rblk, w, c, f)
+    return pl.pallas_call(
+        body, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w, f), jnp.float32),
+    )(jnp.asarray(t.y0), jnp.asarray(t.y1), jnp.asarray(t.cx0),
+      jnp.asarray(t.wy), jnp.asarray(t.wx), xp, kernel.astype(jnp.float32))
+
+
+def forward_diag(x, kernel, mode, *, rblk=2, store=jnp.bfloat16):
+    b, h, w, c = x.shape
+    k2, f = 9, kernel.shape[-1]
+    t = gather_tables(h, w, 3, 1, 1, True)
+    h_out = t.y0.shape[0]
+    xp = jnp.pad(x, ((0, 0), (t.pad, t.pad), (0, 0), (0, 0))).astype(store)
+    h_pad = xp.shape[1]
+    shifts = ((w - t.cx0.astype(np.int64)) % w).astype(np.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b, h_out // rblk),
+        in_specs=[
+            pl.BlockSpec((1, h_pad, w, c), lambda bb, ii, *r: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2 * c, f), lambda bb, ii, *r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rblk, w, f),
+                               lambda bb, ii, *r: (bb, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    body = functools.partial(_kernel_diag, mode, k2, rblk, w, c, f)
+    return pl.pallas_call(
+        body, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w, f), jnp.float32),
+    )(jnp.asarray(t.y0), jnp.asarray(t.y1), jnp.asarray(shifts),
+      jnp.asarray(t.wy), jnp.asarray(t.wx), xp, kernel.astype(jnp.float32))
+
+
+
+# --------------------------------------------------------------------------
+# Tap-pairing: halve MXU M-streaming by contracting TWO taps per matmul —
+# lhs [w, 2c] (lane-concat of two gathered samples), rhs [2c, f] (stacked
+# K_t; K_t'). The matmul count per row drops 9 -> 5 (last tap pairs with a
+# zero block).  pairc: jnp.concatenate value op.  pairs: shared scratch.
+# --------------------------------------------------------------------------
+
+def _kernel_pair(k2, rblk, w, c, f, use_scratch,
+                 y0_ref, y1_ref, sh_ref, wy_ref, wx_ref,
+                 x_ref, k_ref, out_ref, *maybe_scratch):
+    smp2 = maybe_scratch[0] if use_scratch else None
+    i0 = pl.program_id(1) * rblk
+    npair = (k2 + 1) // 2
+    for r in range(rblk):
+        i = i0 + r
+        acc = jnp.zeros((w, f), jnp.float32)
+
+        def gather(t):
+            y0 = y0_ref[i, t]
+            y1 = y1_ref[i, t]
+            sh = sh_ref[i, t]
+            wy = wy_ref[i, t]
+            wx = wx_ref[i, t]
+            row0 = x_ref[0, y0, :, :].astype(jnp.float32)
+            row1 = x_ref[0, y1, :, :].astype(jnp.float32)
+            rowy = (1.0 - wy) * row0 + wy * row1
+            g0 = pltpu.roll(rowy, sh, 0)
+            g1 = pltpu.roll(g0, w - 1, 0)
+            return (1.0 - wx) * g0 + wx * g1
+
+        for p in range(npair):
+            t0, t1 = 2 * p, 2 * p + 1
+            s0 = gather(t0)
+            if t1 < k2:
+                s1 = gather(t1)
+                if use_scratch:
+                    smp2[:, :c] = s0
+                    smp2[:, c:] = s1
+                    lhs = smp2[...]
+                else:
+                    lhs = jnp.concatenate([s0, s1], axis=1)
+                acc += jnp.dot(lhs, k_ref[pl.ds(t0 * c, 2 * c), :],
+                               preferred_element_type=jnp.float32)
+            else:
+                acc += jnp.dot(s0, k_ref[pl.ds(t0 * c, c), :],
+                               preferred_element_type=jnp.float32)
+        out_ref[0, r] = acc.astype(out_ref.dtype)
+
+
+def forward_pair(x, kernel, *, rblk=2, store=jnp.bfloat16, use_scratch=False):
+    b, h, w, c = x.shape
+    k2, f = 9, kernel.shape[-1]
+    t = gather_tables(h, w, 3, 1, 1, True)
+    h_out = t.y0.shape[0]
+    xp = jnp.pad(x, ((0, 0), (t.pad, t.pad), (0, 0), (0, 0))).astype(store)
+    h_pad = xp.shape[1]
+    shifts = ((w - t.cx0.astype(np.int64)) % w).astype(np.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b, h_out // rblk),
+        in_specs=[
+            pl.BlockSpec((1, h_pad, w, c), lambda bb, ii, *r: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2 * c, f), lambda bb, ii, *r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rblk, w, f),
+                               lambda bb, ii, *r: (bb, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=([pltpu.VMEM((w, 2 * c), jnp.float32)]
+                        if use_scratch else []),
+    )
+    body = functools.partial(_kernel_pair, k2, rblk, w, c, f, use_scratch)
+    return pl.pallas_call(
+        body, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w, f), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h_out * w * k2 * c * f,
+            bytes_accessed=b * h_pad * w * c * 4 + b * h_out * w * f * 4,
+            transcendentals=0),
+    )(jnp.asarray(t.y0), jnp.asarray(t.y1), jnp.asarray(shifts),
+      jnp.asarray(t.wy), jnp.asarray(t.wx), xp, kernel.astype(jnp.float32))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--b", type=int, default=32)
@@ -191,12 +525,19 @@ def main():
     bias = jnp.zeros((args.f,), jnp.float32)
     flops = 2 * args.b * args.h * args.w * 9 * args.c * args.f
 
-    # Correctness reference (small slice check to keep it fast).
-    ref = jax.jit(lambda xx: deformable_conv2d(xx, k, bias))(inputs[0])
+    # Correctness reference, cached on disk (the XLA gather graph takes
+    # minutes to compile over the tunnel; the reference output is static).
+    cache = f"/tmp/daconv_ref_{args.b}_{args.h}_{args.w}_{args.c}_{args.f}.npy"
+    if os.path.exists(cache):
+        ref = jnp.asarray(np.load(cache))
+    else:
+        ref = jax.jit(lambda xx: deformable_conv2d(xx, k, bias))(inputs[0])
+        np.save(cache, np.asarray(ref))
 
     def report(name, fn, check=True):
+        jf = jax.jit(fn)
         try:
-            out = jax.block_until_ready(jax.jit(fn)(inputs[0]))
+            out = jax.block_until_ready(jf(inputs[0]))
         except Exception as e:
             print(f"{name:>14}: FAILED {type(e).__name__}: {e}")
             return
@@ -205,11 +546,22 @@ def main():
             scale = float(jnp.max(jnp.abs(ref)))
         else:
             err, scale = 0.0, 1.0
-        t = timeit_inputs(jax.jit(fn), inputs)
+        t = timeit_inputs(jf, inputs)
         print(f"{name:>14}: {t*1e3:7.3f} ms  {flops/t/1e12:6.2f} TF/s  "
               f"maxerr {err:.2e} (rel {err/scale:.2e})")
 
     variants = args.variants.split(",")
+    if "pairc" in variants:
+        report("pairc", lambda xx: forward_pair(xx, k) + bias)
+    if "pairs" in variants:
+        report("pairs", lambda xx: forward_pair(xx, k, use_scratch=True) + bias)
+    if "prodbf16" in variants:
+        report("prodbf16", lambda xx: forward_prodbf16(xx, k) + bias)
+    for mode in ("noroll", "nomm", "mmonly", "mmbf16", "fullbf16"):
+        if mode in variants:
+            report(mode, functools.partial(
+                lambda xx, m: forward_diag(xx, k, m) + bias, m=mode),
+                check=(mode == "fullbf16"))
     if "xla" in variants:
         report("xla", lambda xx: deformable_conv2d(xx, k, bias))
     if "prod" in variants:
@@ -228,9 +580,30 @@ def main():
             report(f"a{rblk}h", functools.partial(
                 lambda xx, rb: forward_a(xx, k, rblk=rb,
                                          store=jnp.bfloat16) + bias, rb=rblk))
+        if f"c{rblk}" in variants:
+            report(f"c{rblk}", functools.partial(
+                lambda xx, rb: forward_c(xx, k, rblk=rb) + bias, rb=rblk))
+        if f"c{rblk}p" in variants:
+            report(f"c{rblk}p", functools.partial(
+                lambda xx, rb: forward_c(
+                    xx, k, rblk=rb,
+                    semantics=("parallel", "arbitrary")) + bias, rb=rblk))
+        if f"c{rblk}h" in variants:
+            report(f"c{rblk}h", functools.partial(
+                lambda xx, rb: forward_c(xx, k, rblk=rb,
+                                         store=jnp.bfloat16) + bias, rb=rblk))
+        if f"cs{rblk}h" in variants:
+            report(f"cs{rblk}h", functools.partial(
+                lambda xx, rb: forward_c(xx, k, rblk=rb, staged=True,
+                                         store=jnp.bfloat16) + bias, rb=rblk))
+        if f"cs{rblk}" in variants:
+            report(f"cs{rblk}", functools.partial(
+                lambda xx, rb: forward_c(xx, k, rblk=rb, staged=True) + bias,
+                rb=rblk))
         if f"b{rblk}" in variants:
             report(f"b{rblk}", functools.partial(
-                lambda xx, rb: forward_b(xx, k, rblk=rb) + bias, rb=rblk))
+                lambda xx, rb: forward_b(xx, k, rblk=rb,
+                                         store=jnp.bfloat16) + bias, rb=rblk))
 
 
 if __name__ == "__main__":
