@@ -188,6 +188,54 @@ def scatter_tables(h: int, w: int, kernel_size: int = 3, stride: int = 1,
     return ScatterTables(ri=ri, rt=rt, rw=rw, rcx=rcx, rwx=rwx, nrefs=nrefs)
 
 
+class ScatterTablesK3(NamedTuple):
+    """k=3 slot form of ScatterTables: refs grouped by (output row, kernel
+    row). A slot's 3 kx taps share the forward row i, the row weight (wy
+    depends only on ky) and the loaded cotangent row — so the dx kernel
+    loads g ONCE per slot (<=7 slots/row) instead of once per ref (<=21).
+    """
+
+    si: np.ndarray   # [h, S] int32 — forward output row i (0 = pad)
+    sw: np.ndarray   # [h, S] f32 — row weight; 0 marks slot padding
+    sky: np.ndarray  # [h, S] int32 — kernel row ky of the slot
+    scx: np.ndarray  # [h, S*3] int32 — column shift, kx-major per slot
+    swx: np.ndarray  # [h, S*3] f32 — column fraction, kx-major per slot
+    nslots: int
+
+
+@functools.lru_cache(maxsize=None)
+def scatter_tables_k3(h: int, w: int, stride: int = 1,
+                      dilation_rate: int = 1,
+                      skydome: bool = True) -> ScatterTablesK3:
+    t = gather_tables(h, w, 3, stride, dilation_rate, skydome)
+    h_out = t.y0.shape[0]
+    slots = [[] for _ in range(h)]
+    for i in range(h_out):
+        for ky in range(3):
+            tap0 = 3 * ky
+            wy = float(t.wy[i, tap0])
+            for y_pad, wgt in ((int(t.y0[i, tap0]), 1.0 - wy),
+                               (int(t.y1[i, tap0]), wy)):
+                y = y_pad - t.pad
+                if 0 <= y < h and wgt != 0.0:
+                    slots[y].append((i, wgt, ky,
+                                     t.cx0[i, tap0:tap0 + 3],
+                                     t.wx[i, tap0:tap0 + 3]))
+    nslots = max(len(s) for s in slots)
+    si = np.zeros((h, nslots), np.int32)
+    sw = np.zeros((h, nslots), np.float32)
+    sky = np.zeros((h, nslots), np.int32)
+    scx = np.zeros((h, nslots, 3), np.int32)
+    swx = np.zeros((h, nslots, 3), np.float32)
+    for y, lst in enumerate(slots):
+        for s, (i, wgt, ky, cxs, wxs) in enumerate(lst):
+            si[y, s], sw[y, s], sky[y, s] = i, wgt, ky
+            scx[y, s], swx[y, s] = cxs, wxs
+    return ScatterTablesK3(si=si, sw=sw, sky=sky,
+                           scx=scx.reshape(h, nslots * 3),
+                           swx=swx.reshape(h, nslots * 3), nslots=nslots)
+
+
 def deformable_conv2d(x, kernel, bias, *, kernel_size: int = 3, stride: int = 1,
                       dilation_rate: int = 1, skydome: bool = True,
                       col_start=None, out_cols: int = None):

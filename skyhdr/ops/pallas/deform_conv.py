@@ -3,19 +3,30 @@
 What the XLA path (skyhdr.ops.distortion.deformable_conv2d) still pays for:
 each of the k^2 taps materializes a [B, H, W, C] gathered temporary in HBM
 before its matmul. This kernel keeps one sample's padded image resident in
-VMEM and, per output row, does the whole tap pipeline on-chip:
+VMEM and, per output row, does the whole tap pipeline on-chip.
 
-  for tap t:                                  (static unroll, k^2 = 9)
-    rowY = (1-wy)*img[y0[i,t]] + wy*img[y1[i,t]]   # two VMEM row reads
-    dbl  = concat(rowY, rowY)                      # cyclic shift source
-    g0   = dbl[cx[i,t]  : cx[i,t]+W]               # dynamic slice = roll
-    g1   = dbl[cx[i,t]+1: cx[i,t]+1+W]
-    acc += ((1-wx)*g0 + wx*g1) @ K[t]              # MXU
+The k=3 fast path applies three MXU/VPU restructurings on top (each
+measured on the v5e; see tools/exp_daconv.py and CLAUDE.md):
+
+  * ROW DEDUP + INTERP REORDER: the y tables depend only on the kernel row
+    (ky), so ONE y-interp serves the 3 taps of a kernel row (6 row loads
+    per output row instead of 18); and since the x-interp commutes with the
+    cyclic shift, h = (1-wx)*rowy + wx*roll(rowy,-1) followed by ONE
+    dynamic roll per tap replaces two dynamic rolls per tap.
+  * SAMPLE PACKING (c <= 64): P samples' channels are packed onto the
+    128-lane axis (an XLA transpose in HBM, once per call) and the weights
+    become block-diagonal [k2*P*c, P*f] — K and N both grow P-fold, so the
+    number of MXU M-streams drops P-fold. The kernel was M-stream bound at
+    25% MXU utilization for c=f=64; packing doubles both tile dims.
+  * M-BLOCKING (w < 256): mblk rows' tap samples are sublane-concatenated
+    (aligned, no lane-offset RMW) into ONE [mblk*w, Pc] matmul per tap,
+    amortizing MXU pipeline latency over longer streams.
 
 Index tables (per-row y0/y1/cx/wy/wx from skyhdr.ops.distortion.
 gather_tables) arrive via scalar prefetch so row addressing is resolved
-before the body runs. Grid is (B, H_out) with the image block's index map
-constant in the row dimension — the HBM->VMEM fetch happens once per sample.
+before the body runs. Grid is (B/P, H_out/rblk) with the image block's
+index map constant in the row dimension — the HBM->VMEM fetch happens once
+per (packed) sample.
 
 Training runs Pallas in BOTH directions: the custom VJP computes dK by
 rematerializing the forward gather (contracted against the cotangent) and
@@ -35,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from skyhdr.ops.distortion import (deformable_conv2d, gather_tables,
-                                   scatter_tables)
+                                   scatter_tables, scatter_tables_k3)
 
 # VMEM budgets for the resident image block (bytes). The pipeline
 # double-buffers the block, so the effective footprint is ~2x; above the
@@ -45,10 +56,24 @@ _VMEM_F32_BUDGET = 3 * 1024 * 1024
 _VMEM_BF16_BUDGET = 6 * 1024 * 1024
 
 
-def _store_dtype(x_shape, kernel_size: int):
-    b, h, w, c = x_shape
-    pad = (kernel_size - 1) // 2
-    f32_bytes = (h + 2 * pad) * w * c * 4
+def _sample_pack(b: int, c: int) -> int:
+    """Samples packed per lane group: largest power of 2 with P*c <= 128
+    and P | b."""
+    p = 1
+    while p * 2 * c <= 128 and b % (p * 2) == 0:
+        p *= 2
+    return p
+
+
+def _m_block(w: int, h_out: int) -> int:
+    """Rows whose samples are stacked per matmul: M = mblk*w targets 256."""
+    mblk = 1
+    while w * mblk * 2 <= 256 and h_out % (mblk * 2) == 0:
+        mblk *= 2
+    return mblk
+
+
+def _block_store_dtype(f32_bytes: int):
     if f32_bytes <= _VMEM_F32_BUDGET:
         return jnp.float32
     if f32_bytes // 2 <= _VMEM_BF16_BUDGET:
@@ -56,9 +81,46 @@ def _store_dtype(x_shape, kernel_size: int):
     return None
 
 
+def _store_dtype(x_shape, kernel_size: int, p: int = 1):
+    """Storage dtype for the VMEM-resident (possibly lane-packed) image
+    block."""
+    b, h, w, c = x_shape
+    pad = (kernel_size - 1) // 2
+    return _block_store_dtype((h + 2 * pad) * w * c * p * 4)
+
+
 def pallas_supported(x_shape, kernel_size: int = 3, stride: int = 1) -> bool:
-    return (stride == 1 and x_shape[2] >= 8
-            and _store_dtype(x_shape, kernel_size) is not None)
+    b, h, w, c = x_shape
+    p = _sample_pack(b, c) if kernel_size == 3 else 1
+    return (stride == 1 and w >= 8
+            and _store_dtype(x_shape, kernel_size, p) is not None)
+
+
+def _pack_samples(x, p: int):
+    """[B,H,W,C] -> [B/P,H,W,P*C]: sample b lands in lane block b % P of
+    packed sample b // P."""
+    b, h, w, c = x.shape
+    return (x.reshape(b // p, p, h, w, c)
+             .transpose(0, 2, 3, 1, 4)
+             .reshape(b // p, h, w, p * c))
+
+
+def _unpack_samples(y, p: int):
+    bp, h, w, pf = y.shape
+    f = pf // p
+    return (y.reshape(bp, h, w, p, f)
+             .transpose(0, 3, 1, 2, 4)
+             .reshape(bp * p, h, w, f))
+
+
+def _blockdiag_kernel(kernel, k2: int, c: int, f: int, p: int):
+    """[k2*c, f] -> block-diagonal [k2*p*c, p*f] so one matmul applies the
+    shared weights to p lane-packed samples."""
+    kb = jnp.zeros((k2, p * c, p * f), kernel.dtype)
+    kt = kernel.reshape(k2, c, f)
+    for i in range(p):
+        kb = kb.at[:, i * c:(i + 1) * c, i * f:(i + 1) * f].set(kt)
+    return kb.reshape(k2 * p * c, p * f)
 
 
 def _kernel_body(k2: int, rblk: int, w: int, c: int, f: int,
@@ -92,12 +154,113 @@ def _kernel_body(k2: int, rblk: int, w: int, c: int, f: int,
         out_ref[0, r] = acc.astype(out_ref.dtype)
 
 
+def _kernel_k3(rblk: int, mblk: int, w: int, c: int, f: int,
+               y0_ref, y1_ref, wy_ref, sh_ref, wx_ref,
+               x_ref, k_ref, out_ref):
+    """k=3 fast path: row dedup, interp reorder, M-blocked matmuls.
+    c/f here are the PACKED channel counts (P*c_in, P*f_out)."""
+    i0 = pl.program_id(1) * rblk
+    for g in range(rblk // mblk):
+        ig = i0 + g * mblk
+        acc = jnp.zeros((mblk * w, f), jnp.float32)
+        for ky in range(3):
+            rowys, rowns = [], []
+            for r in range(mblk):
+                y0 = y0_ref[ig + r, ky]
+                y1 = y1_ref[ig + r, ky]
+                wy = wy_ref[ig + r, ky]
+                row0 = x_ref[0, y0, :, :].astype(jnp.float32)
+                row1 = x_ref[0, y1, :, :].astype(jnp.float32)
+                rowy = (1.0 - wy) * row0 + wy * row1
+                rowys.append(rowy)
+                rowns.append(pltpu.roll(rowy, w - 1, 0))   # rowy[j+1]
+            for kx in range(3):
+                t = 3 * ky + kx
+                ss = []
+                for r in range(mblk):
+                    sh = sh_ref[ig + r, t]
+                    wx = wx_ref[ig + r, t]
+                    hh = (1.0 - wx) * rowys[r] + wx * rowns[r]
+                    ss.append(pltpu.roll(hh, sh, 0))       # hh[(j+cx)%w]
+                smp = ss[0] if mblk == 1 else jnp.concatenate(ss, axis=0)
+                acc += jnp.dot(smp, k_ref[t * c:(t + 1) * c, :],
+                               preferred_element_type=jnp.float32)
+        out_ref[0, pl.ds(g * mblk, mblk)] = (
+            acc.reshape(mblk, w, f).astype(out_ref.dtype))
+
+
+def _forward_k3(x, kernel, *, dilation_rate: int, skydome: bool):
+    """k=3 fast path (dedup + pack + M-block). Exact same arithmetic as the
+    generic kernel — the restructurings only regroup loads and matmuls."""
+    b, h, w, c = x.shape
+    k2 = 9
+    f = kernel.shape[-1]
+    t = gather_tables(h, w, 3, 1, dilation_rate, skydome)
+    h_out = t.y0.shape[0]
+    p = _sample_pack(b, c)
+    store = _store_dtype(x.shape, 3, p) or jnp.float32
+
+    xk = x if p == 1 else _pack_samples(x, p)
+    xp = jnp.pad(xk, ((0, 0), (t.pad, t.pad), (0, 0), (0, 0))).astype(store)
+    h_pad = xp.shape[1]
+    pc, pf = p * c, p * f
+    kb = (kernel.astype(jnp.float32) if p == 1 else
+          _blockdiag_kernel(kernel.astype(jnp.float32), k2, c, f, p))
+
+    mblk = _m_block(w, h_out)
+    rblk = mblk if mblk > 1 else (2 if h_out % 2 == 0 else 1)
+
+    # ky-major tables: y0/y1/wy are constant across kx -> [h_out, 3].
+    y0 = np.ascontiguousarray(t.y0.reshape(h_out, 3, 3)[:, :, 0])
+    y1 = np.ascontiguousarray(t.y1.reshape(h_out, 3, 3)[:, :, 0])
+    wy = np.ascontiguousarray(t.wy.reshape(h_out, 3, 3)[:, :, 0])
+    shifts = ((w - t.cx0.astype(np.int64)) % w).astype(np.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b // p, h_out // rblk),
+        in_specs=[
+            pl.BlockSpec((1, h_pad, w, pc), lambda bb, ii, *r: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2 * pc, pf), lambda bb, ii, *r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rblk, w, pf),
+                               lambda bb, ii, *r: (bb, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    body = functools.partial(_kernel_k3, rblk, mblk, w, pc, pf)
+    out = pl.pallas_call(
+        body, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b // p, h_out, w, pf), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h_out * w * k2 * c * f,
+            bytes_accessed=b * h_pad * w * c * 4 + b * h_out * w * f * 4,
+            transcendentals=0),
+    )(jnp.asarray(y0), jnp.asarray(y1), jnp.asarray(wy),
+      jnp.asarray(shifts), jnp.asarray(t.wx), xp, kb)
+    return out if p == 1 else _unpack_samples(out, p)
+
+
+def _dedup_valid(t) -> bool:
+    """The k=3 fast path needs the y tables constant across kx."""
+    h_out = t.y0.shape[0]
+    for arr in (t.y0, t.y1, t.wy):
+        a = arr.reshape(h_out, 3, 3)
+        if not np.all(a == a[:, :, :1]):
+            return False
+    return True
+
+
 def _pallas_forward(x, kernel, *, kernel_size: int, dilation_rate: int,
                     skydome: bool):
     b, h, w, c = x.shape
     k2 = kernel_size * kernel_size
     f = kernel.shape[-1]
     t = gather_tables(h, w, kernel_size, 1, dilation_rate, skydome)
+    if (kernel_size == 3 and t.y0.shape[0] % 2 == 0 and _dedup_valid(t)):
+        return _forward_k3(x, kernel, dilation_rate=dilation_rate,
+                           skydome=skydome)
     h_out = t.y0.shape[0]
     store = _store_dtype(x.shape, kernel_size) or jnp.float32
     xp = jnp.pad(x, ((0, 0), (t.pad, t.pad), (0, 0), (0, 0))).astype(store)
@@ -212,6 +375,73 @@ def _dx_kernel(nrefs, rblk, w, c, f,
         out_ref[0, r] = acc.astype(out_ref.dtype)
 
 
+def _dk_k3_kernel(rblk, w, c, f,
+                  y0_ref, y1_ref, wy_ref, sh_ref, wx_ref,
+                  x_ref, g_ref, out_ref):
+    """dK fast path: forward-gather remat with row dedup + interp reorder
+    (6 loads + 12 rolls per row instead of 18 + 36)."""
+    i0 = pl.program_id(1) * rblk
+    accs = [jnp.zeros((c, f), jnp.float32) for _ in range(9)]
+    for r in range(rblk):
+        i = i0 + r
+        g_row = g_ref[0, r].astype(jnp.float32)           # [w, f]
+        for ky in range(3):
+            y0 = y0_ref[i, ky]
+            y1 = y1_ref[i, ky]
+            wy = wy_ref[i, ky]
+            row0 = x_ref[0, y0, :, :].astype(jnp.float32)
+            row1 = x_ref[0, y1, :, :].astype(jnp.float32)
+            rowy = (1.0 - wy) * row0 + wy * row1
+            rown = pltpu.roll(rowy, w - 1, 0)             # rowy[j+1]
+            for kx in range(3):
+                t = 3 * ky + kx
+                sh = sh_ref[i, t]
+                wx = wx_ref[i, t]
+                hh = (1.0 - wx) * rowy + wx * rown
+                smp = pltpu.roll(hh, sh, 0)               # hh[(j+cx)%w]
+                accs[t] += jax.lax.dot_general(
+                    smp, g_row, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+    dk = jnp.concatenate(accs, axis=0)                    # [9c, f]
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        out_ref[...] = dk
+
+    @pl.when((pl.program_id(0) > 0) | (pl.program_id(1) > 0))
+    def _acc():
+        out_ref[...] += dk
+
+
+def _dx_k3_kernel(nslots, rblk, w, c, f,
+                  si_ref, sw_ref, sky_ref, scx_ref, swx_ref,
+                  g_ref, kt_ref, out_ref):
+    """dx fast path: slot-grouped scatter inverse (<=7 cotangent-row loads
+    per input row instead of <=21) with the interp folded before the roll;
+    c/f are the PACKED channel counts."""
+    y0 = pl.program_id(1) * rblk
+    for r in range(rblk):
+        y = y0 + r
+        acc = jnp.zeros((w, c), jnp.float32)
+        for s in range(nslots):
+            i = si_ref[y, s]
+            wgt = sw_ref[y, s]      # 0 for slot padding (harmless extra ops)
+            ky = sky_ref[y, s]
+            g = g_ref[0, i].astype(jnp.float32)           # [w, f]
+            gp = pltpu.roll(g, 1, 0)                      # g[(j-1)%w]
+            for kx in range(3):
+                cx = scx_ref[y, 3 * s + kx]
+                wx = swx_ref[y, 3 * s + kx]
+                v = (wgt - wgt * wx) * g + (wgt * wx) * gp
+                u = pltpu.roll(v, cx, 0)                  # v[(j-cx)%w]
+                start = (3 * ky + kx) * f
+                if f % 8 == 0:
+                    start = pl.multiple_of(start, 8)
+                acc += jnp.dot(u, kt_ref[pl.ds(start, f), :],
+                               preferred_element_type=jnp.float32)
+        out_ref[0, r] = acc.astype(out_ref.dtype)
+
+
 def _row_block(n: int, target: int = 8) -> int:
     blk = 1
     for cand in (2, 4, 8):
@@ -232,6 +462,17 @@ def _pallas_dk(x, g, *, kernel_size: int, dilation_rate: int, skydome: bool,
     rblk = _row_block(h_out, target=4)
     shifts = ((w - t.cx0.astype(np.int64)) % w).astype(np.int32)
 
+    fast = kernel_size == 3 and _dedup_valid(t)
+    if fast:
+        y0 = np.ascontiguousarray(t.y0.reshape(h_out, 3, 3)[:, :, 0])
+        y1 = np.ascontiguousarray(t.y1.reshape(h_out, 3, 3)[:, :, 0])
+        wy = np.ascontiguousarray(t.wy.reshape(h_out, 3, 3)[:, :, 0])
+        body = functools.partial(_dk_k3_kernel, rblk, w, c, f)
+        scalars = (y0, y1, wy, shifts, t.wx)
+    else:
+        body = functools.partial(_dk_kernel, k2, rblk, w, c, f)
+        scalars = (t.y0, t.y1, shifts, t.wy, t.wx)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(b, h_out // rblk),
@@ -244,7 +485,6 @@ def _pallas_dk(x, g, *, kernel_size: int, dilation_rate: int, skydome: bool,
         out_specs=pl.BlockSpec((k2 * c, f), lambda bb, ii, *r: (0, 0),
                                memory_space=pltpu.VMEM),
     )
-    body = functools.partial(_dk_kernel, k2, rblk, w, c, f)
     return pl.pallas_call(
         body, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k2 * c, f), jnp.float32),
@@ -252,9 +492,7 @@ def _pallas_dk(x, g, *, kernel_size: int, dilation_rate: int, skydome: bool,
             flops=2 * b * h_out * w * k2 * c * f,
             bytes_accessed=b * h_pad * w * c * 4 + b * h_out * w * f * 4,
             transcendentals=0),
-    )(jnp.asarray(t.y0), jnp.asarray(t.y1), jnp.asarray(shifts),
-      jnp.asarray(t.wy), jnp.asarray(t.wx),
-      xp, g.astype(jnp.float32))
+    )(*(jnp.asarray(s) for s in scalars), xp, g.astype(jnp.float32))
 
 
 def _pallas_dx(g, kernel, *, kernel_size: int, dilation_rate: int,
@@ -262,9 +500,53 @@ def _pallas_dx(g, kernel, *, kernel_size: int, dilation_rate: int,
     b, h, w, c = x_shape
     k2 = kernel_size * kernel_size
     f = kernel.shape[-1]
-    st = scatter_tables(h, w, kernel_size, 1, dilation_rate, skydome)
     h_out = g.shape[1]
     rblk = _row_block(h, target=4)
+
+    t = gather_tables(h, w, kernel_size, 1, dilation_rate, skydome)
+    if kernel_size == 3 and _dedup_valid(t):
+        # Fast path: slot-grouped tables + sample packing (lane-packed
+        # cotangent against a block-diagonal K^T — halves the MXU streams).
+        # The cotangent block is stored bf16 when the packed block exceeds
+        # the f32 budget — consistent with the forward's bf16 x storage at
+        # the same shapes.
+        st = scatter_tables_k3(h, w, 1, dilation_rate, skydome)
+        p = _sample_pack(b, max(c, f))
+        gstore = _block_store_dtype(h_out * w * f * p * 4) or jnp.float32
+        gk = g.astype(gstore) if p == 1 else _pack_samples(
+            g.astype(gstore), p)
+        pc, pf = p * c, p * f
+        ktp = kernel.astype(jnp.float32).reshape(k2, c, f).transpose(0, 2, 1)
+        ktp = ktp.reshape(k2 * f, c)
+        if p > 1:
+            ktp = _blockdiag_kernel(ktp, k2, f, c, p)
+        body = functools.partial(_dx_k3_kernel, st.nslots, rblk, w, pc, pf)
+        scalars = (st.si, st.sw, st.sky, st.scx, st.swx)
+        out = pl.pallas_call(
+            body,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(b // p, h // rblk),
+                in_specs=[
+                    pl.BlockSpec((1, h_out, w, pf),
+                                 lambda bb, ii, *r: (bb, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((k2 * pf, pc), lambda bb, ii, *r: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, rblk, w, pc),
+                                       lambda bb, ii, *r: (bb, ii, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b // p, h, w, pc), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * h * st.nslots * 3 * w * c * f,
+                bytes_accessed=b * h_out * w * f * 4 + b * h * w * c * 4,
+                transcendentals=0),
+        )(*(jnp.asarray(s) for s in scalars), gk, ktp)
+        return out if p == 1 else _unpack_samples(out, p)
+
+    st = scatter_tables(h, w, kernel_size, 1, dilation_rate, skydome)
     # K^T stacked per tap: [k2*f, c].
     kt = kernel.astype(jnp.float32).reshape(k2, c, f).transpose(0, 2, 1)
     kt = kt.reshape(k2 * f, c)
@@ -301,6 +583,9 @@ def pallas_bwd_supported(x_shape, g_shape, kernel_size: int = 3) -> bool:
     f = g_shape[-1]
     if _store_dtype(x_shape, kernel_size) is None or w < 8:
         return False
+    if kernel_size == 3:
+        p = _sample_pack(b, max(c, f))
+        return _block_store_dtype(g_shape[1] * w * f * p * 4) is not None
     g_bytes = g_shape[1] * w * f * 4
     return g_bytes <= _VMEM_F32_BUDGET * 2
 
