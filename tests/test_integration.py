@@ -74,6 +74,25 @@ def test_event_writer_tensorboard_compat(tmp_path):
     assert scalars == [(1, "loss", 1.5), (2, "loss", 0.5)]
 
 
+def test_event_reader_roundtrip(tmp_path):
+    """tools/quality_report.py's TF-free reader decodes EventWriter output."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        from quality_report import read_events
+    finally:
+        sys.path.pop(0)
+
+    w = EventWriter(str(tmp_path))
+    w.scalars({"kl": 1.25, "dog": 3.5}, 7)
+    w.scalars({"kl": 0.75}, 8)
+    w.close()
+    (path,) = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    assert sorted(read_events(path)) == [
+        (7, "dog", 3.5), (7, "kl", 1.25), (8, "kl", 0.75)]
+
+
 def test_checkpoint_roundtrip(tmp_path, cfg):
     state = create_sun_state(cfg, jax.random.PRNGKey(0))
     mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
