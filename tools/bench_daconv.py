@@ -37,6 +37,8 @@ def main():
     args = ap.parse_args()
 
     from skyhdr.ops.distortion import deformable_conv2d
+    from skyhdr.ops.pallas.deform_conv import (deformable_conv2d_pallas,
+                                               pallas_supported)
 
     dt = jnp.dtype(args.dtype)
     rng = np.random.default_rng(0)
@@ -52,6 +54,26 @@ def main():
     flops = 2 * args.b * args.h * args.w * 9 * args.c * args.f
     print(f"deformable_conv2d: {t*1e3:.3f} ms  "
           f"({flops/t/1e12:.2f} TF/s)  shape {x.shape}->{args.f}")
+
+    if pallas_supported(x.shape):
+        f_pl = jax.jit(lambda xx: deformable_conv2d_pallas(xx, k, bias))
+        tp = timeit_inputs(f_pl, inputs)
+        print(f"pallas forward   : {tp*1e3:.3f} ms  "
+              f"({flops/tp/1e12:.2f} TF/s)  ({t/tp:.1f}x over XLA)")
+
+        # Grad wrt (x, kernel, bias) — the cotangents a train step needs.
+        f_plg = jax.jit(lambda xx: jax.grad(
+            lambda xx_, kk, bb: jnp.sum(
+                deformable_conv2d_pallas(xx_, kk, bb) ** 2),
+            argnums=(0, 1, 2))(xx, k, bias))
+        f_xlg = jax.jit(lambda xx: jax.grad(
+            lambda xx_, kk, bb: jnp.sum(
+                deformable_conv2d(xx_, kk, bb) ** 2),
+            argnums=(0, 1, 2))(xx, k, bias))
+        tpg = timeit_inputs(f_plg, inputs)
+        txg = timeit_inputs(f_xlg, inputs)
+        print(f"pallas fwd+bwd   : {tpg*1e3:.3f} ms  (XLA fwd+bwd "
+              f"{txg*1e3:.3f} ms, {txg/tpg:.1f}x)")
 
     # Plain conv of the same FLOPs for comparison.
     kc = jnp.asarray(rng.normal(size=(3, 3, args.c, args.f)) * 0.05, dt)
