@@ -8,11 +8,13 @@ VMEM and, per output row, does the whole tap pipeline on-chip.
 The k=3 fast path applies three MXU/VPU restructurings on top (each
 measured on the v5e; see tools/exp_daconv.py and CLAUDE.md):
 
-  * ROW DEDUP + INTERP REORDER: the y tables depend only on the kernel row
-    (ky), so ONE y-interp serves the 3 taps of a kernel row (6 row loads
-    per output row instead of 18); and since the x-interp commutes with the
-    cyclic shift, h = (1-wx)*rowy + wx*roll(rowy,-1) followed by ONE
-    dynamic roll per tap replaces two dynamic rolls per tap.
+  * ROW DEDUP + SCRATCH SHIFTS: the y tables depend only on the kernel row
+    (ky), so ONE y-interp serves the 3 taps of a kernel row (6 row loads +
+    one doubled-scratch write per output row instead of 18 loads); the
+    cyclic column shift of each tap is a dynamic-slice read of the doubled
+    row in VMEM scratch (dbl[cx:cx+w] IS the shift) — measured 2.8 ms
+    faster than pltpu.roll at (32,64,256,64): a dynamic-offset VMEM read
+    is near-free while a roll is real sublane data movement.
   * SAMPLE PACKING (c <= 64): P samples' channels are packed onto the
     128-lane axis (an XLA transpose in HBM, once per call) and the weights
     become block-diagonal [k2*P*c, P*f] — K and N both grow P-fold, so the
@@ -155,16 +157,27 @@ def _kernel_body(k2: int, rblk: int, w: int, c: int, f: int,
 
 
 def _kernel_k3(rblk: int, mblk: int, w: int, c: int, f: int,
-               y0_ref, y1_ref, wy_ref, sh_ref, wx_ref,
-               x_ref, k_ref, out_ref):
-    """k=3 fast path: row dedup, interp reorder, M-blocked matmuls.
-    c/f here are the PACKED channel counts (P*c_in, P*f_out)."""
+               y0_ref, y1_ref, wy_ref, cx_ref, wx_ref,
+               x_ref, k_ref, out_ref, dbl_ref):
+    """k=3 fast path: row dedup, doubled-scratch column shifts, M-blocked
+    matmuls. c/f here are the PACKED channel counts (P*c_in, P*f_out).
+
+    Column shifts read a DOUBLED copy of rowy from VMEM scratch via
+    dynamic-slice (dbl[cx:cx+w] IS the cyclic shift) instead of
+    pltpu.roll — measured 2.8 ms faster at (32,64,256,64) once the
+    per-iteration-blocking timer artifact was fixed (tools/exp_daconv.py,
+    2026-08-17): a dynamic-offset VMEM read is near-free, a roll is real
+    sublane data movement.
+
+    The packed layout arrives via an HBM transpose (_pack_samples, ~2 ms
+    at (32,64,256,64)). In-kernel packing of UNPACKED (p,h,w,c) blocks was
+    tried and rejected: a c=64 block pays 2x VMEM for lane-tile padding
+    and overflows the 16M scoped-vmem limit (tools/exp_pack.py notes)."""
     i0 = pl.program_id(1) * rblk
     for g in range(rblk // mblk):
         ig = i0 + g * mblk
         acc = jnp.zeros((mblk * w, f), jnp.float32)
         for ky in range(3):
-            rowys, rowns = [], []
             for r in range(mblk):
                 y0 = y0_ref[ig + r, ky]
                 y1 = y1_ref[ig + r, ky]
@@ -172,16 +185,17 @@ def _kernel_k3(rblk: int, mblk: int, w: int, c: int, f: int,
                 row0 = x_ref[0, y0, :, :].astype(jnp.float32)
                 row1 = x_ref[0, y1, :, :].astype(jnp.float32)
                 rowy = (1.0 - wy) * row0 + wy * row1
-                rowys.append(rowy)
-                rowns.append(pltpu.roll(rowy, w - 1, 0))   # rowy[j+1]
+                dbl_ref[2 * w * r:2 * w * r + w, :] = rowy
+                dbl_ref[2 * w * r + w:2 * w * (r + 1), :] = rowy
             for kx in range(3):
                 t = 3 * ky + kx
                 ss = []
                 for r in range(mblk):
-                    sh = sh_ref[ig + r, t]
+                    cx = cx_ref[ig + r, t]
                     wx = wx_ref[ig + r, t]
-                    hh = (1.0 - wx) * rowys[r] + wx * rowns[r]
-                    ss.append(pltpu.roll(hh, sh, 0))       # hh[(j+cx)%w]
+                    g0 = dbl_ref[pl.ds(2 * w * r + cx, w), :]
+                    g1 = dbl_ref[pl.ds(2 * w * r + cx + 1, w), :]
+                    ss.append((1.0 - wx) * g0 + wx * g1)
                 smp = ss[0] if mblk == 1 else jnp.concatenate(ss, axis=0)
                 acc += jnp.dot(smp, k_ref[t * c:(t + 1) * c, :],
                                preferred_element_type=jnp.float32)
@@ -214,7 +228,6 @@ def _forward_k3(x, kernel, *, dilation_rate: int, skydome: bool):
     y0 = np.ascontiguousarray(t.y0.reshape(h_out, 3, 3)[:, :, 0])
     y1 = np.ascontiguousarray(t.y1.reshape(h_out, 3, 3)[:, :, 0])
     wy = np.ascontiguousarray(t.wy.reshape(h_out, 3, 3)[:, :, 0])
-    shifts = ((w - t.cx0.astype(np.int64)) % w).astype(np.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -228,6 +241,7 @@ def _forward_k3(x, kernel, *, dilation_rate: int, skydome: bool):
         out_specs=pl.BlockSpec((1, rblk, w, pf),
                                lambda bb, ii, *r: (bb, ii, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * w * mblk, pc), jnp.float32)],
     )
     body = functools.partial(_kernel_k3, rblk, mblk, w, pc, pf)
     out = pl.pallas_call(
@@ -238,7 +252,7 @@ def _forward_k3(x, kernel, *, dilation_rate: int, skydome: bool):
             bytes_accessed=b * h_pad * w * c * 4 + b * h_out * w * f * 4,
             transcendentals=0),
     )(jnp.asarray(y0), jnp.asarray(y1), jnp.asarray(wy),
-      jnp.asarray(shifts), jnp.asarray(t.wx), xp, kb)
+      jnp.asarray(t.cx0), jnp.asarray(t.wx), xp, kb)
     return out if p == 1 else _unpack_samples(out, p)
 
 
@@ -311,14 +325,15 @@ def _pallas_forward(x, kernel, *, kernel_size: int, dilation_rate: int,
 #            scatter inverted OFFLINE into per-input-row reference lists
 #            (skyhdr.ops.distortion.scatter_tables; <=21 refs/row at k=3),
 #            turning the scatter-add into a dense per-row accumulation.
-# Cyclic column shifts use pltpu.roll (dynamic sublane slicing of multi-dim
-# blocks is not supported by Mosaic), keeping every tap's chain independent.
+# Cyclic shifts (forward and adjoint) are dynamic-slice reads of a doubled
+# row in 2-D VMEM scratch — Mosaic supports dynamic sublane starts only on
+# <=2-D refs, and this beats pltpu.roll by ~2.8 ms at (32,64,256,64).
 # ---------------------------------------------------------------------------
 
 
 def _dk_kernel(k2, rblk, w, c, f,
-               y0_ref, y1_ref, sh_ref, wy_ref, wx_ref,
-               x_ref, g_ref, out_ref):
+               y0_ref, y1_ref, cx_ref, wy_ref, wx_ref,
+               x_ref, g_ref, out_ref, dbl_ref):
     i0 = pl.program_id(1) * rblk
     accs = [jnp.zeros((c, f), jnp.float32) for _ in range(k2)]
     for r in range(rblk):
@@ -327,14 +342,16 @@ def _dk_kernel(k2, rblk, w, c, f,
         for t in range(k2):
             y0 = y0_ref[i, t]
             y1 = y1_ref[i, t]
-            sh = sh_ref[i, t]  # (w - cx0) % w, host-precomputed
+            cx = cx_ref[i, t]
             wy = wy_ref[i, t]
             wx = wx_ref[i, t]
             row0 = x_ref[0, y0, :, :].astype(jnp.float32)
             row1 = x_ref[0, y1, :, :].astype(jnp.float32)
             rowy = (1.0 - wy) * row0 + wy * row1
-            g0 = pltpu.roll(rowy, sh, 0)       # g0[j] = rowy[(j+cx) mod w]
-            g1 = pltpu.roll(g0, w - 1, 0)      # one further static -1 shift
+            dbl_ref[0:w, :] = rowy
+            dbl_ref[w:2 * w, :] = rowy
+            g0 = dbl_ref[pl.ds(cx, w), :]      # g0[j] = rowy[(j+cx) mod w]
+            g1 = dbl_ref[pl.ds(cx + 1, w), :]
             sample = (1.0 - wx) * g0 + wx * g1
             accs[t] += jax.lax.dot_general(
                 sample, g_row, (((0,), (0,)), ((), ())),
@@ -352,7 +369,7 @@ def _dk_kernel(k2, rblk, w, c, f,
 
 def _dx_kernel(nrefs, rblk, w, c, f,
                ri_ref, rt_ref, rw_ref, rcx_ref, rwx_ref,
-               g_ref, kt_ref, out_ref):
+               g_ref, kt_ref, out_ref, dbl_ref):
     y0 = pl.program_id(1) * rblk
     for r in range(rblk):
         y = y0 + r
@@ -364,8 +381,12 @@ def _dx_kernel(nrefs, rblk, w, c, f,
             cx = rcx_ref[y, j]
             wx = rwx_ref[y, j]
             g_row = g_ref[0, i].astype(jnp.float32)      # [w, f]
-            r0 = pltpu.roll(g_row, cx, 0)                # roll by +cx
-            r1 = pltpu.roll(r0, 1, 0)                    # +1 more (static)
+            dbl_ref[0:w, :] = g_row
+            dbl_ref[w:2 * w, :] = g_row
+            # Adjoint shifts: r0[j] = g[(j-cx) mod w] = dbl[j + w - cx],
+            # r1[j] = g[(j-cx-1) mod w] = dbl[j + w - cx - 1].
+            r0 = dbl_ref[pl.ds(w - cx, w), :]
+            r1 = dbl_ref[pl.ds(w - cx - 1, w), :]
             u = wgt * ((1.0 - wx) * r0 + wx * r1)
             start = t * f
             if f % 8 == 0:  # help Mosaic prove sublane alignment
@@ -376,10 +397,10 @@ def _dx_kernel(nrefs, rblk, w, c, f,
 
 
 def _dk_k3_kernel(rblk, w, c, f,
-                  y0_ref, y1_ref, wy_ref, sh_ref, wx_ref,
-                  x_ref, g_ref, out_ref):
-    """dK fast path: forward-gather remat with row dedup + interp reorder
-    (6 loads + 12 rolls per row instead of 18 + 36)."""
+                  y0_ref, y1_ref, wy_ref, cx_ref, wx_ref,
+                  x_ref, g_ref, out_ref, dbl_ref):
+    """dK fast path: forward-gather remat with row dedup + doubled-scratch
+    column shifts (6 loads + 3 scratch doublings per row; no rolls)."""
     i0 = pl.program_id(1) * rblk
     accs = [jnp.zeros((c, f), jnp.float32) for _ in range(9)]
     for r in range(rblk):
@@ -392,13 +413,15 @@ def _dk_k3_kernel(rblk, w, c, f,
             row0 = x_ref[0, y0, :, :].astype(jnp.float32)
             row1 = x_ref[0, y1, :, :].astype(jnp.float32)
             rowy = (1.0 - wy) * row0 + wy * row1
-            rown = pltpu.roll(rowy, w - 1, 0)             # rowy[j+1]
+            dbl_ref[0:w, :] = rowy
+            dbl_ref[w:2 * w, :] = rowy
             for kx in range(3):
                 t = 3 * ky + kx
-                sh = sh_ref[i, t]
+                cx = cx_ref[i, t]
                 wx = wx_ref[i, t]
-                hh = (1.0 - wx) * rowy + wx * rown
-                smp = pltpu.roll(hh, sh, 0)               # hh[(j+cx)%w]
+                g0 = dbl_ref[pl.ds(cx, w), :]
+                g1 = dbl_ref[pl.ds(cx + 1, w), :]
+                smp = (1.0 - wx) * g0 + wx * g1
                 accs[t] += jax.lax.dot_general(
                     smp, g_row, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -415,9 +438,9 @@ def _dk_k3_kernel(rblk, w, c, f,
 
 def _dx_k3_kernel(nslots, rblk, w, c, f,
                   si_ref, sw_ref, sky_ref, scx_ref, swx_ref,
-                  g_ref, kt_ref, out_ref):
+                  g_ref, kt_ref, out_ref, dbl_ref):
     """dx fast path: slot-grouped scatter inverse (<=7 cotangent-row loads
-    per input row instead of <=21) with the interp folded before the roll;
+    per input row instead of <=21) with doubled-scratch adjoint shifts;
     c/f are the PACKED channel counts."""
     y0 = pl.program_id(1) * rblk
     for r in range(rblk):
@@ -428,12 +451,15 @@ def _dx_k3_kernel(nslots, rblk, w, c, f,
             wgt = sw_ref[y, s]      # 0 for slot padding (harmless extra ops)
             ky = sky_ref[y, s]
             g = g_ref[0, i].astype(jnp.float32)           # [w, f]
-            gp = pltpu.roll(g, 1, 0)                      # g[(j-1)%w]
+            dbl_ref[0:w, :] = g
+            dbl_ref[w:2 * w, :] = g
             for kx in range(3):
                 cx = scx_ref[y, 3 * s + kx]
                 wx = swx_ref[y, 3 * s + kx]
-                v = (wgt - wgt * wx) * g + (wgt * wx) * gp
-                u = pltpu.roll(v, cx, 0)                  # v[(j-cx)%w]
+                # u[j] = (1-wx)*g[(j-cx)%w] + wx*g[(j-cx-1)%w], times wgt:
+                r0 = dbl_ref[pl.ds(w - cx, w), :]
+                r1 = dbl_ref[pl.ds(w - cx - 1, w), :]
+                u = (wgt - wgt * wx) * r0 + (wgt * wx) * r1
                 start = (3 * ky + kx) * f
                 if f % 8 == 0:
                     start = pl.multiple_of(start, 8)
@@ -460,7 +486,6 @@ def _pallas_dk(x, g, *, kernel_size: int, dilation_rate: int, skydome: bool,
     xp = jnp.pad(x, ((0, 0), (t.pad, t.pad), (0, 0), (0, 0))).astype(store)
     h_pad = xp.shape[1]
     rblk = _row_block(h_out, target=4)
-    shifts = ((w - t.cx0.astype(np.int64)) % w).astype(np.int32)
 
     fast = kernel_size == 3 and _dedup_valid(t)
     if fast:
@@ -468,10 +493,10 @@ def _pallas_dk(x, g, *, kernel_size: int, dilation_rate: int, skydome: bool,
         y1 = np.ascontiguousarray(t.y1.reshape(h_out, 3, 3)[:, :, 0])
         wy = np.ascontiguousarray(t.wy.reshape(h_out, 3, 3)[:, :, 0])
         body = functools.partial(_dk_k3_kernel, rblk, w, c, f)
-        scalars = (y0, y1, wy, shifts, t.wx)
+        scalars = (y0, y1, wy, t.cx0, t.wx)
     else:
         body = functools.partial(_dk_kernel, k2, rblk, w, c, f)
-        scalars = (t.y0, t.y1, shifts, t.wy, t.wx)
+        scalars = (t.y0, t.y1, t.cx0, t.wy, t.wx)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -484,6 +509,7 @@ def _pallas_dk(x, g, *, kernel_size: int, dilation_rate: int, skydome: bool,
         ],
         out_specs=pl.BlockSpec((k2 * c, f), lambda bb, ii, *r: (0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * w, c), jnp.float32)],
     )
     return pl.pallas_call(
         body, grid_spec=grid_spec,
@@ -537,6 +563,7 @@ def _pallas_dx(g, kernel, *, kernel_size: int, dilation_rate: int,
                 out_specs=pl.BlockSpec((1, rblk, w, pc),
                                        lambda bb, ii, *r: (bb, ii, 0, 0),
                                        memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((2 * w, pf), jnp.float32)],
             ),
             out_shape=jax.ShapeDtypeStruct((b // p, h, w, pc), jnp.float32),
             cost_estimate=pl.CostEstimate(
@@ -563,6 +590,7 @@ def _pallas_dx(g, kernel, *, kernel_size: int, dilation_rate: int,
         out_specs=pl.BlockSpec((1, rblk, w, c),
                                lambda bb, ii, *r: (bb, ii, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * w, f), jnp.float32)],
     )
     body = functools.partial(_dx_kernel, st.nrefs, rblk, w, c, f)
     return pl.pallas_call(

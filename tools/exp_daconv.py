@@ -22,17 +22,22 @@ from skyhdr.ops.distortion import deformable_conv2d, gather_tables
 from skyhdr.ops.pallas.deform_conv import _pallas_forward as prod_forward
 
 
-def timeit_inputs(fn, inputs):
-    """Median of per-iteration times (distinct inputs; robust to relay
-    stalls, which can inject multi-hundred-ms outliers into a mean)."""
+def timeit_inputs(fn, inputs, repeats=2):
+    """Pipelined timing: dispatch ALL iterations, block once, divide.
+
+    Per-iteration blocking (the old form) adds a full relay round-trip
+    (~20 ms on a bad day) to EVERY iteration on this tunneled TPU —
+    it measures dispatch latency, not device time, and drowned the
+    kernel signal completely on 2026-08-17. Min over `repeats`
+    independent pipelined passes, distinct inputs per iteration."""
     jax.block_until_ready(fn(inputs[0]))
     ts = []
-    for x in inputs:
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(x))
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+        outs = [fn(x) for x in inputs]
+        jax.block_until_ready(outs)
+        ts.append((time.perf_counter() - t0) / len(inputs))
+    return min(ts)
 
 
 # --------------------------------------------------------------------------
