@@ -46,20 +46,34 @@ def sunpose_with_cams(sunpose_apply, sun_vars, x, sunpose_gt=None):
     (train.py:257): the outer loss gradient flows through `sm` but not
     through the attention maps.
     """
-    b = x.shape[0]
     # Probe shapes without building perturbations by hand.
     sm_shape, act_shapes = jax.eval_shape(
         lambda v, xx: sunpose_apply(v, xx, None), sun_vars, x
     )
     eps0 = tuple(jnp.zeros(s.shape, s.dtype) for s in act_shapes)
 
+    # Differentiable path for the KL loss: a plain forward (XLA CSEs it
+    # against the CAM forward below — identical primal computation).
+    sm = sunpose_apply(sun_vars, x, None)[0]
+
+    # CAM path from gradient-STOPPED copies: the outer loss linearization
+    # must never push tangents into this inner vjp — it contains
+    # pallas_call ops (DA convs) with no JVP rule, and the reference
+    # computes CAMs inside stop_recording anyway (train.py:257-271).
+    # With all inputs stopped, every op here carries symbolic-zero
+    # tangents and the outer AD skips them entirely.
+    sv0 = jax.lax.stop_gradient(sun_vars)
+    x0 = jax.lax.stop_gradient(x)
+    gt0 = (None if sunpose_gt is None
+           else jax.lax.stop_gradient(sunpose_gt))
+
     def f(eps):
-        sm, acts = sunpose_apply(sun_vars, x, eps)
-        y_c = _select_y_c(sm, sunpose_gt)
-        return jnp.sum(y_c), (sm, acts)
+        sm_c, acts = sunpose_apply(sv0, x0, eps)
+        y_c = _select_y_c(sm_c, gt0)
+        return jnp.sum(y_c), acts
 
     # One forward + one backward; grads arrive for all three activations.
-    (_, (sm, acts)), grads = jax.value_and_grad(f, has_aux=True)(eps0)
+    (_, acts), grads = jax.value_and_grad(f, has_aux=True)(eps0)
 
     cams = tuple(
         jax.lax.stop_gradient(_cam_from_grad(g, a)) for g, a in zip(grads, acts)
