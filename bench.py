@@ -9,9 +9,14 @@ Measurement protocol (BASELINE.md "Measurement integrity"):
   * every timing pass uses DISTINCT pre-staged inputs and blocks on all
     outputs — identical repeated executions can be served from a relay-side
     cache on this tunneled TPU and report physically impossible times;
-  * each stage runs K independent repeat passes; the reported number is the
-    cross-repeat MIN (closest to the hardware on this noisy link) and the
-    per-pass times ship in extras as the spread;
+  * inference/eval iterations are CHAINED through a scalar carry
+    (_time_chained) — independent dispatches can be served concurrently,
+    which once produced MFU 3.4 on one chip; train steps chain naturally
+    through the donated state;
+  * samples that violate the compute floor (graph FLOPs at >95% of the
+    v5e bf16 peak) are rejected before the cross-repeat MIN is taken
+    (_credible_min) — the relay intermittently "executes" a 104-GFLOP
+    graph in 0.17 ms, which no amount of chaining prevents;
   * train steps donate the state (undonated state output costs ~1.2 s/step
     in per-buffer overhead on this runtime vs ~90 ms donated);
   * MFU = XLA cost-analysis FLOPs / step time / v5e peak (197 TFLOP/s bf16).
@@ -46,6 +51,27 @@ def _time_over_inputs(fn, inputs, warmup=2):
     return (time.perf_counter() - t0) / len(inputs)
 
 
+def _time_chained(step, inputs, warmup=1):
+    """Time a carry-threading step over DISTINCT inputs.
+
+    step(carry, x) -> carry must make iteration k+1 data-dependent on
+    iteration k (e.g. add a zero-scaled scalar of the output into the next
+    input). Independent dispatches through the tunnel can be served
+    CONCURRENTLY (a distinct-input pipelined loop once measured MFU 3.4 —
+    physically impossible on one chip), so only a dependency chain measures
+    per-chip step time. The train benches get this for free from state
+    donation; inference/eval must thread a carry explicitly."""
+    carry = jnp.zeros((), jnp.float32)
+    for x in inputs[:warmup]:
+        carry = step(carry, x)
+    jax.block_until_ready(carry)
+    t0 = time.perf_counter()
+    for x in inputs:
+        carry = step(carry, x)
+    jax.block_until_ready(carry)
+    return (time.perf_counter() - t0) / len(inputs)
+
+
 def _repeat_min(make_inputs, fn, repeats=3):
     """K independent passes, fresh distinct inputs each; returns
     (min_dt, [dt...])."""
@@ -57,42 +83,82 @@ def _repeat_min(make_inputs, fn, repeats=3):
     return min(times), times
 
 
+def _credible_min(times, flops, mfu_cap=0.95):
+    """Min over samples that do not violate the compute floor.
+
+    The relay intermittently returns results faster than the chip can
+    compute them AT ALL (measured 0.17 ms for a 104-GFLOP graph on a chip
+    that calibrates at 61-88 TF/s on dense matmuls — implied MFU 3.4; the
+    same graph honestly measures 9-11 ms minutes later). A min over raw
+    samples amplifies that fiction, so samples below flops/(cap*peak) are
+    rejected. Returns (dt, n_rejected); if every sample is impossible the
+    slowest one is used."""
+    if not flops:
+        return min(times), 0
+    floor = flops / (mfu_cap * V5E_PEAK_FLOPS)
+    credible = [t for t in times if t >= floor]
+    if not credible:
+        return max(times), len(times)
+    return min(credible), len(times) - len(credible)
+
+
 def _graph_flops(jitted, *args):
     """XLA's own FLOP count for the compiled graph (per execution)."""
     try:
         lowered = jitted.lower(*args)
-        try:
-            cost = lowered.cost_analysis()  # host-side, no device compile
-        except Exception:
-            cost = lowered.compile().cost_analysis()
-        if isinstance(cost, list):  # older jax returns [dict]
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
     except Exception as e:  # pragma: no cover - depends on backend support
-        _log(f"  cost_analysis unavailable: {type(e).__name__}")
+        _log(f"  lowering for cost_analysis failed: {type(e).__name__}")
         return 0.0
+    for get in (lowered.cost_analysis,
+                lambda: lowered.compile().cost_analysis()):
+        try:
+            cost = get()
+            if isinstance(cost, list):  # older jax returns [dict]
+                cost = cost[0]
+            if cost and cost.get("flops"):
+                return float(cost["flops"])
+        except Exception:
+            continue
+    _log("  cost_analysis unavailable on this backend")
+    return 0.0
 
 
 def bench_inference(cfg, batch, iters=20, repeats=3):
     from skyhdr.train.engine import create_gan_state, make_inference_fn
 
     state = create_gan_state(cfg, jax.random.PRNGKey(0))
-    infer = make_inference_fn(cfg)
+    infer = make_inference_fn(cfg, jit=False)
     shape = (batch, cfg.model.im_height, cfg.model.im_width, 3)
-    fn = lambda x: infer(state.gen_vars, state.sun_vars, x)["y_final_lin"]
+
+    # Params as explicit jit args: closing over them would capture every
+    # weight as a graph constant (3.2 GB at the 64x256 DA config — the
+    # reference's sunpose FCs are h*w wide, sunpose_net.py:36).
+    @jax.jit
+    def step(carry, gv, sv, x):
+        out = infer(gv, sv, x + carry)["y_final_lin"]
+        return out.ravel()[0] * 0.0  # next iteration depends on this one
 
     def make_inputs(r):
         rng = np.random.default_rng(1000 + r)
         return [jnp.asarray(rng.uniform(0, 1, size=shape).astype(np.float32))
                 for _ in range(iters)]
 
-    dt, spread = _repeat_min(make_inputs, fn, repeats)
-    flops = _graph_flops(jax.jit(fn), jnp.zeros(shape, jnp.float32))
+    times = []
+    for r in range(repeats):
+        inputs = make_inputs(r)
+        jax.block_until_ready(inputs)
+        times.append(_time_chained(
+            lambda c, x: step(c, state.gen_vars, state.sun_vars, x), inputs))
+    flops = _graph_flops(step, jnp.zeros((), jnp.float32),
+                         state.gen_vars, state.sun_vars,
+                         jnp.zeros(shape, jnp.float32))
+    dt, suspect = _credible_min(times, flops)
     return {
         "panoramas_per_s": batch / dt,
         "ms": dt * 1e3,
-        "spread_ms": [round(t * 1e3, 3) for t in spread],
+        "spread_ms": [round(t * 1e3, 3) for t in times],
         "mfu": flops / dt / V5E_PEAK_FLOPS if flops else None,
+        "relay_suspect_samples": suspect,
     }
 
 
@@ -199,10 +265,12 @@ def bench_eval_pipeline(cfg, iters=12, repeats=3):
     shape = (b, cfg.model.im_height, cfg.model.im_width, 3)
 
     @jax.jit
-    def eval_one(key, hdr):
-        hdr_t, ldr = degrade_batch(key, hdr, banks)
+    def eval_one(carry, key, hdr):
+        hdr_t, ldr = degrade_batch(key, hdr + carry, banks)
         pred = infer(state.gen_vars, state.sun_vars, ldr)["y_final_lin"]
-        return evaluate_batch(pred, hdr_t)
+        m = evaluate_batch(pred, hdr_t)
+        return m["psnr"].ravel()[0] * 0.0  # chain iterations (see
+        # _time_chained: independent dispatches can run concurrently)
 
     def make_inputs(r):
         rng = np.random.default_rng(4000 + r)
@@ -210,12 +278,15 @@ def bench_eval_pipeline(cfg, iters=12, repeats=3):
         return [(k, jnp.asarray(rng.uniform(0, 2, size=shape)
                                 .astype(np.float32))) for k in keys]
 
-    def fn(inp):
-        return eval_one(*inp)
-
-    dt, spread = _repeat_min(make_inputs, fn, repeats)
+    times = []
+    for r in range(repeats):
+        inputs = make_inputs(r)
+        jax.block_until_ready(inputs)
+        times.append(_time_chained(
+            lambda c, inp: eval_one(c, *inp), inputs))
+    dt = min(times)
     return {"panoramas_per_s": b / dt, "ms": dt * 1e3,
-            "spread_ms": [round(t * 1e3, 3) for t in spread], "mfu": None}
+            "spread_ms": [round(t * 1e3, 3) for t in times], "mfu": None}
 
 
 def main():
@@ -273,6 +344,9 @@ def main():
         extras[f"{prefix}_spread_ms"] = res["spread_ms"]
         if res.get("mfu"):
             extras[f"{prefix}_mfu"] = round(res["mfu"], 4)
+        if res.get("relay_suspect_samples"):
+            extras[f"{prefix}_relay_suspect_samples"] = res[
+                "relay_suspect_samples"]
 
     put("train_step_b32", train)
     put("train_step_bf16_b32", train16)

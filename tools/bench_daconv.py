@@ -16,13 +16,25 @@ import jax.numpy as jnp
 
 
 def timeit_inputs(fn, inputs):
-    """Distinct inputs per iteration + block on all outputs — reusing one
-    input can hit relay-side result caching on the tunneled TPU and report
-    impossibly fast times (see bench.py:_time_over_inputs)."""
-    jax.block_until_ready(fn(inputs[0]))
+    """Chained distinct-input timing: iteration k+1's input depends on
+    iteration k's output. Distinct inputs alone defeat relay-side result
+    caching but NOT concurrent dispatch (independent executions once
+    measured MFU 3.4 on one chip — impossible); the scalar carry forces
+    serial per-chip execution (see bench.py:_time_chained)."""
+    import jax.numpy as jnp
+
+    # The carry must CONSUME every output element (full reduction): a
+    # first-element carry lets XLA dead-code-eliminate output-side work
+    # (measured 2 ms of real unpack relayout vanishing at (32,64,256,64)).
+    carry = jnp.zeros((), inputs[0].dtype)
+    chained = jax.jit(lambda c, x: sum(
+        jnp.sum(l) for l in jax.tree_util.tree_leaves(fn(x + c))) * 0)
+    carry = chained(carry, inputs[0])
+    jax.block_until_ready(carry)
     t0 = time.perf_counter()
-    outs = [fn(x) for x in inputs]
-    jax.block_until_ready(outs)
+    for x in inputs:
+        carry = chained(carry, x)
+    jax.block_until_ready(carry)
     return (time.perf_counter() - t0) / len(inputs)
 
 
