@@ -6,9 +6,10 @@ tools/measure_tf_baseline.py). Extra configs (train step, batch-1 latency,
 64x256 DA-conv inference + train) ride along in "extras".
 
 Measurement protocol (BASELINE.md "Measurement integrity"):
-  * every timing pass uses DISTINCT pre-staged inputs and blocks on all
-    outputs — identical repeated executions can be served from a relay-side
-    cache on this tunneled TPU and report physically impossible times;
+  * every timing pass uses DISTINCT pre-staged inputs and ends with a HOST
+    READ (_host_sync) — identical executions can be served from a
+    relay-side cache, and jax.block_until_ready returns early on this
+    runtime (a device->host read is the only real barrier);
   * inference/eval iterations are CHAINED through a scalar carry
     (_time_chained) — independent dispatches can be served concurrently,
     which once produced MFU 3.4 on one chip; train steps chain naturally
@@ -41,13 +42,28 @@ TF_CPU_BASELINE_INFER_32x128 = 26.05  # panoramas/s, batch 32
 V5E_PEAK_FLOPS = 197e12  # bf16 peak per chip (MXU); f32 runs at half
 
 
+def _host_sync(x):
+    """TRUE synchronization: a host read of one element.
+
+    jax.block_until_ready LIES on this tunneled runtime — a 40-step scanned
+    inference chain 'completed' in 0.3 ms under block_until_ready but took
+    the physically-consistent 264 ms when a float() host read followed
+    (BASELINE.md "Measurement integrity"). Only a device->host read is a
+    real barrier here. The device executes serially, so syncing the LAST
+    result syncs everything before it."""
+    import numpy as _np
+
+    leaf = jax.tree_util.tree_leaves(x)[-1]
+    return float(_np.asarray(leaf).ravel()[0])
+
+
 def _time_over_inputs(fn, inputs, warmup=2):
-    """Time fn over DISTINCT pre-staged inputs, blocking on every output."""
+    """Time fn over DISTINCT pre-staged inputs; host-read barrier at end."""
     for x in inputs[:warmup]:
-        jax.block_until_ready(fn(x))
+        _host_sync(fn(x))
     t0 = time.perf_counter()
     outs = [fn(x) for x in inputs]
-    jax.block_until_ready(outs)
+    _host_sync(outs[-1])
     return (time.perf_counter() - t0) / len(inputs)
 
 
@@ -64,11 +80,11 @@ def _time_chained(step, inputs, warmup=1):
     carry = jnp.zeros((), jnp.float32)
     for x in inputs[:warmup]:
         carry = step(carry, x)
-    jax.block_until_ready(carry)
+    _host_sync(carry)
     t0 = time.perf_counter()
     for x in inputs:
         carry = step(carry, x)
-    jax.block_until_ready(carry)
+    _host_sync(carry)
     return (time.perf_counter() - t0) / len(inputs)
 
 
@@ -78,7 +94,7 @@ def _repeat_min(make_inputs, fn, repeats=3):
     times = []
     for r in range(repeats):
         inputs = make_inputs(r)
-        jax.block_until_ready(inputs)
+        _host_sync(inputs[-1])
         times.append(_time_over_inputs(fn, inputs))
     return min(times), times
 
@@ -143,15 +159,18 @@ def bench_inference(cfg, batch, iters=20, repeats=3):
         return [jnp.asarray(rng.uniform(0, 1, size=shape).astype(np.float32))
                 for _ in range(iters)]
 
-    times = []
-    for r in range(repeats):
-        inputs = make_inputs(r)
-        jax.block_until_ready(inputs)
-        times.append(_time_chained(
-            lambda c, x: step(c, state.gen_vars, state.sun_vars, x), inputs))
     flops = _graph_flops(step, jnp.zeros((), jnp.float32),
                          state.gen_vars, state.sun_vars,
                          jnp.zeros(shape, jnp.float32))
+    floor = flops / (0.95 * V5E_PEAK_FLOPS) if flops else 0.0
+    times = []
+    for r in range(2 * repeats):  # extra rounds only if every sample so
+        if r >= repeats and any(t >= floor for t in times):
+            break                 # far violates the compute floor
+        inputs = make_inputs(r)
+        _host_sync(inputs[-1])
+        times.append(_time_chained(
+            lambda c, x: step(c, state.gen_vars, state.sun_vars, x), inputs))
     dt, suspect = _credible_min(times, flops)
     return {
         "panoramas_per_s": batch / dt,
@@ -183,15 +202,15 @@ def bench_train_step(cfg, iters=12, repeats=3):
             "elevation": jnp.asarray(
                 np.linspace(4, 28, b).astype(np.float32) + r),
         } for _ in range(iters)]
-        jax.block_until_ready(batches)
+        _host_sync(batches[-1]["hdr"])
         keys = jax.random.split(jax.random.PRNGKey(100 + r), iters)
         # Warmup (also threads state so no step can be a cached replay).
-        state, _ = step(state, batches[0], keys[0])
-        jax.block_until_ready(state)
+        state, m0 = step(state, batches[0], keys[0])
+        _host_sync(m0["gen_total"])
         t0 = time.perf_counter()
         for bt, k in zip(batches, keys):
             state, metrics = step(state, bt, k)
-        jax.block_until_ready(metrics["gen_total"])
+        _host_sync(metrics["gen_total"])
         return (time.perf_counter() - t0) / iters
 
     times = [one_pass(r) for r in range(repeats)]
@@ -234,14 +253,14 @@ def bench_sun_train_step(cfg, iters=12, repeats=3):
             "elevation": jnp.asarray(
                 np.linspace(4, 28, b).astype(np.float32) + r),
         } for _ in range(iters)]
-        jax.block_until_ready(batches)
+        _host_sync(batches[-1]["hdr"])
         keys = jax.random.split(jax.random.PRNGKey(200 + r), iters)
-        state, _ = step(state, batches[0], keys[0])
-        jax.block_until_ready(state)
+        state, m0 = step(state, batches[0], keys[0])
+        _host_sync(m0["sun_total"])
         t0 = time.perf_counter()
         for bt, k in zip(batches, keys):
             state, metrics = step(state, bt, k)
-        jax.block_until_ready(metrics["sun_total"])
+        _host_sync(metrics["sun_total"])
         return (time.perf_counter() - t0) / iters
 
     times = [one_pass(r) for r in range(repeats)]
@@ -281,7 +300,7 @@ def bench_eval_pipeline(cfg, iters=12, repeats=3):
     times = []
     for r in range(repeats):
         inputs = make_inputs(r)
-        jax.block_until_ready(inputs)
+        _host_sync(inputs[-1])
         times.append(_time_chained(
             lambda c, inp: eval_one(c, *inp), inputs))
     dt = min(times)
@@ -320,6 +339,8 @@ def main():
     sun = run("sun-pretrain step 32x128 b32", lambda: bench_sun_train_step(cfg))
 
     infer = run("inference 32x128 b32", lambda: bench_inference(cfg, 32))
+    infer16 = run("inference 32x128 b32 bf16",
+                  lambda: bench_inference(cfg_bf16, 32))
     infer1 = run("inference 32x128 b1",
                  lambda: bench_inference(cfg, 1, iters=50))
     evalp = run("eval pipeline 32x128 b32", lambda: bench_eval_pipeline(cfg))
@@ -352,6 +373,7 @@ def main():
     put("train_step_bf16_b32", train16)
     put("sun_train_step_b32", sun)
     put("inference_b32", infer)
+    put("inference_bf16_b32", infer16)
     put("inference_b1", infer1)
     put("eval_pipeline_b32", evalp)
     put("da_conv_64x256_infer_b32", da)

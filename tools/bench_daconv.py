@@ -26,15 +26,17 @@ def timeit_inputs(fn, inputs):
     # The carry must CONSUME every output element (full reduction): a
     # first-element carry lets XLA dead-code-eliminate output-side work
     # (measured 2 ms of real unpack relayout vanishing at (32,64,256,64)).
+    # The final barrier is a float() HOST READ — jax.block_until_ready
+    # returns early on this runtime (see bench.py:_host_sync).
     carry = jnp.zeros((), inputs[0].dtype)
     chained = jax.jit(lambda c, x: sum(
         jnp.sum(l) for l in jax.tree_util.tree_leaves(fn(x + c))) * 0)
     carry = chained(carry, inputs[0])
-    jax.block_until_ready(carry)
+    float(carry)
     t0 = time.perf_counter()
     for x in inputs:
         carry = chained(carry, x)
-    jax.block_until_ready(carry)
+    float(carry)
     return (time.perf_counter() - t0) / len(inputs)
 
 
