@@ -75,6 +75,15 @@ def _m_block(w: int, h_out: int) -> int:
     return mblk
 
 
+def _mm_dtype(x):
+    """Matmul operand dtype: bf16 inputs run the MXU at native (2x f32)
+    rate, which matters on the compute-bound shapes (K,N >= 128, e.g. the
+    resblock DA convs at c=f=256). The bilinear interp stays f32; only the
+    gathered sample and the weights are rounded — consistent with the
+    model-wide bf16 compute mode that triggers this path."""
+    return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _block_store_dtype(f32_bytes: int):
     if f32_bytes <= _VMEM_F32_BUDGET:
         return jnp.float32
@@ -94,7 +103,13 @@ def _store_dtype(x_shape, kernel_size: int, p: int = 1):
 def pallas_supported(x_shape, kernel_size: int = 3, stride: int = 1) -> bool:
     b, h, w, c = x_shape
     p = _sample_pack(b, c) if kernel_size == 3 else 1
-    return (stride == 1 and w >= 8
+    # c (packed pc) caps at one lane tile: the column-shift scratch reads
+    # are dynamic-sublane-offset vector loads, which Mosaic only compiles
+    # at <= 128 lanes ("cannot statically prove that index in dimension 0
+    # is a multiple of 8" at 256). The model's DA layers are all <= 128
+    # channels (reference generator.py:60-66); wider shapes fall back to
+    # the XLA gather path.
+    return (stride == 1 and w >= 8 and c * max(p, 1) <= 128
             and _store_dtype(x_shape, kernel_size, p) is not None)
 
 
@@ -129,6 +144,7 @@ def _kernel_body(k2: int, rblk: int, w: int, c: int, f: int,
                  y0_ref, y1_ref, cx_ref, wy_ref, wx_ref,
                  x_ref, k_ref, out_ref, dbl_ref):
     i0 = pl.program_id(1) * rblk
+    mmdt = k_ref.dtype  # bf16 weights -> native-rate MXU (see _mm_dtype)
 
     for r in range(rblk):  # static unroll; rblk kept tiny to bound VMEM
         i = i0 + r
@@ -150,7 +166,8 @@ def _kernel_body(k2: int, rblk: int, w: int, c: int, f: int,
             g0 = dbl_ref[pl.ds(cx, w), :]
             g1 = dbl_ref[pl.ds(cx + 1, w), :]
             sample = (1.0 - wx) * g0 + wx * g1
-            acc += jnp.dot(sample, k_ref[t * c:(t + 1) * c, :],
+            acc += jnp.dot(sample.astype(mmdt),
+                           k_ref[t * c:(t + 1) * c, :],
                            preferred_element_type=jnp.float32)
 
         out_ref[0, r] = acc.astype(out_ref.dtype)
@@ -158,7 +175,7 @@ def _kernel_body(k2: int, rblk: int, w: int, c: int, f: int,
 
 def _kernel_k3(rblk: int, mblk: int, w: int, c: int, f: int,
                y0_ref, y1_ref, wy_ref, cx_ref, wx_ref,
-               x_ref, k_ref, out_ref, dbl_ref):
+               x_ref, k_ref, out_ref, *dbl_refs):
     """k=3 fast path: row dedup, doubled-scratch column shifts, M-blocked
     matmuls. c/f here are the PACKED channel counts (P*c_in, P*f_out).
 
@@ -172,7 +189,13 @@ def _kernel_k3(rblk: int, mblk: int, w: int, c: int, f: int,
     The packed layout arrives via an HBM transpose (_pack_samples, ~2 ms
     at (32,64,256,64)). In-kernel packing of UNPACKED (p,h,w,c) blocks was
     tried and rejected: a c=64 block pays 2x VMEM for lane-tile padding
-    and overflows the 16M scoped-vmem limit (tools/exp_pack.py notes)."""
+    and overflows the 16M scoped-vmem limit (tools/exp_pack.py notes).
+
+    One scratch buffer PER mblk row: a shared [2*w*mblk, c] scratch needs
+    dynamic offsets of the form 2*w*r + cx, which Mosaic cannot
+    alignment-prove for multi-lane-tile rows (c > 128 fails with 'index in
+    dimension 0 is a multiple of 8'); a pure-cx offset into a per-row
+    [2*w, c] buffer compiles at every supported width."""
     i0 = pl.program_id(1) * rblk
     for g in range(rblk // mblk):
         ig = i0 + g * mblk
@@ -185,19 +208,20 @@ def _kernel_k3(rblk: int, mblk: int, w: int, c: int, f: int,
                 row0 = x_ref[0, y0, :, :].astype(jnp.float32)
                 row1 = x_ref[0, y1, :, :].astype(jnp.float32)
                 rowy = (1.0 - wy) * row0 + wy * row1
-                dbl_ref[2 * w * r:2 * w * r + w, :] = rowy
-                dbl_ref[2 * w * r + w:2 * w * (r + 1), :] = rowy
+                dbl_refs[r][0:w, :] = rowy
+                dbl_refs[r][w:2 * w, :] = rowy
             for kx in range(3):
                 t = 3 * ky + kx
                 ss = []
                 for r in range(mblk):
                     cx = cx_ref[ig + r, t]
                     wx = wx_ref[ig + r, t]
-                    g0 = dbl_ref[pl.ds(2 * w * r + cx, w), :]
-                    g1 = dbl_ref[pl.ds(2 * w * r + cx + 1, w), :]
+                    g0 = dbl_refs[r][pl.ds(cx, w), :]
+                    g1 = dbl_refs[r][pl.ds(cx + 1, w), :]
                     ss.append((1.0 - wx) * g0 + wx * g1)
                 smp = ss[0] if mblk == 1 else jnp.concatenate(ss, axis=0)
-                acc += jnp.dot(smp, k_ref[t * c:(t + 1) * c, :],
+                acc += jnp.dot(smp.astype(k_ref.dtype),
+                               k_ref[t * c:(t + 1) * c, :],
                                preferred_element_type=jnp.float32)
         out_ref[0, pl.ds(g * mblk, mblk)] = (
             acc.reshape(mblk, w, f).astype(out_ref.dtype))
@@ -218,8 +242,9 @@ def _forward_k3(x, kernel, *, dilation_rate: int, skydome: bool):
     xp = jnp.pad(xk, ((0, 0), (t.pad, t.pad), (0, 0), (0, 0))).astype(store)
     h_pad = xp.shape[1]
     pc, pf = p * c, p * f
-    kb = (kernel.astype(jnp.float32) if p == 1 else
-          _blockdiag_kernel(kernel.astype(jnp.float32), k2, c, f, p))
+    mmdt = _mm_dtype(x)
+    kb = (kernel.astype(mmdt) if p == 1 else
+          _blockdiag_kernel(kernel.astype(mmdt), k2, c, f, p))
 
     mblk = _m_block(w, h_out)
     rblk = mblk if mblk > 1 else (2 if h_out % 2 == 0 else 1)
@@ -241,7 +266,8 @@ def _forward_k3(x, kernel, *, dilation_rate: int, skydome: bool):
         out_specs=pl.BlockSpec((1, rblk, w, pf),
                                lambda bb, ii, *r: (bb, ii, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2 * w * mblk, pc), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2 * w, pc), jnp.float32)
+                        for _ in range(mblk)],
     )
     body = functools.partial(_kernel_k3, rblk, mblk, w, pc, pf)
     out = pl.pallas_call(
@@ -310,7 +336,7 @@ def _pallas_forward(x, kernel, *, kernel_size: int, dilation_rate: int,
     )(
         jnp.asarray(t.y0), jnp.asarray(t.y1), jnp.asarray(t.cx0),
         jnp.asarray(t.wy), jnp.asarray(t.wx),
-        xp, kernel.astype(jnp.float32),
+        xp, kernel.astype(_mm_dtype(x)),
     )
     return out
 
@@ -611,6 +637,8 @@ def pallas_bwd_supported(x_shape, g_shape, kernel_size: int = 3) -> bool:
     f = g_shape[-1]
     if _store_dtype(x_shape, kernel_size) is None or w < 8:
         return False
+    if max(c, f) > 128:  # dynamic-offset scratch loads cap at one lane
+        return False     # tile (see pallas_supported)
     if kernel_size == 3:
         p = _sample_pack(b, max(c, f))
         return _block_store_dtype(g_shape[1] * w * f * p * 4) is not None

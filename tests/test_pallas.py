@@ -19,6 +19,9 @@ def test_pallas_supported_gate():
     assert pallas_supported((2, 16, 64, 128))
     assert not pallas_supported((2, 16, 64, 128), stride=2)
     assert not pallas_supported((1, 2048, 2048, 128))  # exceeds VMEM budget
+    # dynamic-offset scratch loads cap at one lane tile (Mosaic): wider
+    # channels fall back to XLA.
+    assert not pallas_supported((2, 16, 64, 256))
 
 
 @pytest.mark.parametrize("shape,f", [((2, 8, 32, 16), 8),
