@@ -20,7 +20,11 @@ Measurement protocol (BASELINE.md "Measurement integrity"):
     graph in 0.17 ms, which no amount of chaining prevents;
   * train steps donate the state (undonated state output costs ~1.2 s/step
     in per-buffer overhead on this runtime vs ~90 ms donated);
-  * MFU = XLA cost-analysis FLOPs / step time / v5e peak (197 TFLOP/s bf16).
+  * MFU = XLA cost-analysis FLOPs / step time / the dtype-specific v5e peak
+    (197 TFLOP/s bf16, 98.5 TFLOP/s f32 — _peak_flops); the compute-floor
+    filter uses the same dtype-specific peak;
+  * warmup executions are never re-timed (byte-identical executions are
+    relay-cacheable).
 """
 
 import json
@@ -42,6 +46,14 @@ TF_CPU_BASELINE_INFER_32x128 = 26.05  # panoramas/s, batch 32
 V5E_PEAK_FLOPS = 197e12  # bf16 peak per chip (MXU); f32 runs at half
 
 
+def _peak_flops(compute_dtype: str) -> float:
+    """Nominal MXU peak for the config's compute dtype. f32 configs use the
+    half-rate peak so (a) reported MFU is relative to what the dtype can
+    reach and (b) the relay-fiction floor is not 2x too permissive for f32
+    (a sample at 50-95% of the bf16 peak is physically impossible in f32)."""
+    return V5E_PEAK_FLOPS if compute_dtype == "bfloat16" else V5E_PEAK_FLOPS / 2
+
+
 def _host_sync(x):
     """TRUE synchronization: a host read of one element.
 
@@ -58,13 +70,18 @@ def _host_sync(x):
 
 
 def _time_over_inputs(fn, inputs, warmup=2):
-    """Time fn over DISTINCT pre-staged inputs; host-read barrier at end."""
+    """Time fn over DISTINCT pre-staged inputs; host-read barrier at end.
+
+    Warmup inputs are EXCLUDED from the timed set: a timed execution that is
+    byte-identical to a warmup execution can be served from the relay-side
+    result cache (the failure mode this whole protocol exists to defeat)."""
     for x in inputs[:warmup]:
         _host_sync(fn(x))
+    timed = inputs[warmup:]
     t0 = time.perf_counter()
-    outs = [fn(x) for x in inputs]
+    outs = [fn(x) for x in timed]
     _host_sync(outs[-1])
-    return (time.perf_counter() - t0) / len(inputs)
+    return (time.perf_counter() - t0) / len(timed)
 
 
 def _time_chained(step, inputs, warmup=1):
@@ -76,30 +93,22 @@ def _time_chained(step, inputs, warmup=1):
     CONCURRENTLY (a distinct-input pipelined loop once measured MFU 3.4 —
     physically impossible on one chip), so only a dependency chain measures
     per-chip step time. The train benches get this for free from state
-    donation; inference/eval must thread a carry explicitly."""
+    donation; inference/eval must thread a carry explicitly. Warmup inputs
+    are excluded from the timed set (the zero carry would make the first
+    timed execution byte-identical to its warmup and relay-cacheable)."""
     carry = jnp.zeros((), jnp.float32)
     for x in inputs[:warmup]:
         carry = step(carry, x)
     _host_sync(carry)
+    timed = inputs[warmup:]
     t0 = time.perf_counter()
-    for x in inputs:
+    for x in timed:
         carry = step(carry, x)
     _host_sync(carry)
-    return (time.perf_counter() - t0) / len(inputs)
+    return (time.perf_counter() - t0) / len(timed)
 
 
-def _repeat_min(make_inputs, fn, repeats=3):
-    """K independent passes, fresh distinct inputs each; returns
-    (min_dt, [dt...])."""
-    times = []
-    for r in range(repeats):
-        inputs = make_inputs(r)
-        _host_sync(inputs[-1])
-        times.append(_time_over_inputs(fn, inputs))
-    return min(times), times
-
-
-def _credible_min(times, flops, mfu_cap=0.95):
+def _credible_min(times, flops, peak=V5E_PEAK_FLOPS, mfu_cap=0.95):
     """Min over samples that do not violate the compute floor.
 
     The relay intermittently returns results faster than the chip can
@@ -107,11 +116,12 @@ def _credible_min(times, flops, mfu_cap=0.95):
     that calibrates at 61-88 TF/s on dense matmuls — implied MFU 3.4; the
     same graph honestly measures 9-11 ms minutes later). A min over raw
     samples amplifies that fiction, so samples below flops/(cap*peak) are
-    rejected. Returns (dt, n_rejected); if every sample is impossible the
+    rejected. `peak` is the dtype-specific MXU peak (_peak_flops).
+    Returns (dt, n_rejected); if every sample is impossible the
     slowest one is used."""
     if not flops:
         return min(times), 0
-    floor = flops / (mfu_cap * V5E_PEAK_FLOPS)
+    floor = flops / (mfu_cap * peak)
     credible = [t for t in times if t >= floor]
     if not credible:
         return max(times), len(times)
@@ -152,17 +162,22 @@ def bench_inference(cfg, batch, iters=20, repeats=3):
     @jax.jit
     def step(carry, gv, sv, x):
         out = infer(gv, sv, x + carry)["y_final_lin"]
-        return out.ravel()[0] * 0.0  # next iteration depends on this one
+        # Full-reduction carry: a first-element consumer would let XLA DCE
+        # the output epilogue (unpack relayout, log-decompression) — ~2 ms
+        # of real work once vanished under a partial consumer at the 64x256
+        # DA shape (tools/bench_daconv.py protocol note).
+        return jnp.sum(out) * 0.0
 
     def make_inputs(r):
         rng = np.random.default_rng(1000 + r)
         return [jnp.asarray(rng.uniform(0, 1, size=shape).astype(np.float32))
-                for _ in range(iters)]
+                for _ in range(iters + 1)]  # +1: warmup input, not timed
 
+    peak = _peak_flops(cfg.model.compute_dtype)
     flops = _graph_flops(step, jnp.zeros((), jnp.float32),
                          state.gen_vars, state.sun_vars,
                          jnp.zeros(shape, jnp.float32))
-    floor = flops / (0.95 * V5E_PEAK_FLOPS) if flops else 0.0
+    floor = flops / (0.95 * peak) if flops else 0.0
     times = []
     for r in range(2 * repeats):  # extra rounds only if every sample so
         if r >= repeats and any(t >= floor for t in times):
@@ -171,12 +186,12 @@ def bench_inference(cfg, batch, iters=20, repeats=3):
         _host_sync(inputs[-1])
         times.append(_time_chained(
             lambda c, x: step(c, state.gen_vars, state.sun_vars, x), inputs))
-    dt, suspect = _credible_min(times, flops)
+    dt, suspect = _credible_min(times, flops, peak)
     return {
         "panoramas_per_s": batch / dt,
         "ms": dt * 1e3,
         "spread_ms": [round(t * 1e3, 3) for t in times],
-        "mfu": flops / dt / V5E_PEAK_FLOPS if flops else None,
+        "mfu": flops / dt / peak if flops else None,
         "relay_suspect_samples": suspect,
     }
 
@@ -214,7 +229,6 @@ def bench_train_step(cfg, iters=12, repeats=3):
         return (time.perf_counter() - t0) / iters
 
     times = [one_pass(r) for r in range(repeats)]
-    dt = min(times)
 
     # FLOPs of the whole train step (fwd+bwd+updates), from XLA.
     from skyhdr.train.engine import create_gan_state as _cgs
@@ -225,11 +239,14 @@ def bench_train_step(cfg, iters=12, repeats=3):
          "elevation": jnp.zeros((b,), jnp.float32)},
         jax.random.PRNGKey(0),
     )
+    peak = _peak_flops(cfg.model.compute_dtype)
+    dt, suspect = _credible_min(times, flops, peak)
     return {
         "panoramas_per_s": b / dt,
         "ms": dt * 1e3,
         "spread_ms": [round(t * 1e3, 3) for t in times],
-        "mfu": flops / dt / V5E_PEAK_FLOPS if flops else None,
+        "mfu": flops / dt / peak if flops else None,
+        "relay_suspect_samples": suspect,
     }
 
 
@@ -288,12 +305,15 @@ def bench_eval_pipeline(cfg, iters=12, repeats=3):
         hdr_t, ldr = degrade_batch(key, hdr + carry, banks)
         pred = infer(state.gen_vars, state.sun_vars, ldr)["y_final_lin"]
         m = evaluate_batch(pred, hdr_t)
-        return m["psnr"].ravel()[0] * 0.0  # chain iterations (see
-        # _time_chained: independent dispatches can run concurrently)
+        # Chain iterations (see _time_chained) through a FULL reduction of
+        # every metric leaf — a psnr-only carry lets XLA DCE the si-RMSE and
+        # EMD computations, and this stage advertises all three.
+        total = sum(jnp.sum(v) for v in jax.tree_util.tree_leaves(m))
+        return total * 0.0
 
     def make_inputs(r):
         rng = np.random.default_rng(4000 + r)
-        keys = jax.random.split(jax.random.PRNGKey(300 + r), iters)
+        keys = jax.random.split(jax.random.PRNGKey(300 + r), iters + 1)
         return [(k, jnp.asarray(rng.uniform(0, 2, size=shape)
                                 .astype(np.float32))) for k in keys]
 
@@ -335,6 +355,11 @@ def main():
     cfg_bf16 = Config(model=ModelConfig(compute_dtype="bfloat16"))
     train16 = run("train step 32x128 b32 bf16",
                   lambda: bench_train_step(cfg_bf16))
+    # The BASELINE.md headline config: bf16 at batch 128 (peak pano/s).
+    cfg_bf16_b128 = Config(model=ModelConfig(compute_dtype="bfloat16"),
+                           data=DataConfig(batch_size=128))
+    train16_128 = run("train step 32x128 b128 bf16",
+                      lambda: bench_train_step(cfg_bf16_b128, iters=8))
 
     sun = run("sun-pretrain step 32x128 b32", lambda: bench_sun_train_step(cfg))
 
@@ -350,12 +375,15 @@ def main():
                    data=DataConfig(batch_size=32))
     da = run("DA-conv inference 64x256 b32",
              lambda: bench_inference(cfg64, 32, iters=20))
+    # repeats=4 with the min taken across passes: the first pass after the
+    # big 64x256 compiles has measured 1.8x contaminated (BENCH_r02 spread
+    # [133, 75]) — >=3 clean samples are required for a trustworthy MFU.
     da_train = run("DA-conv train step 64x256 b8",
                    lambda: bench_train_step(
                        Config(model=ModelConfig(im_height=64, im_width=256,
                                                 use_da_conv=True),
                               data=DataConfig(batch_size=8)),
-                       iters=8, repeats=2))
+                       iters=8, repeats=4))
 
     def put(prefix, res):
         if res is None:
@@ -371,6 +399,7 @@ def main():
 
     put("train_step_b32", train)
     put("train_step_bf16_b32", train16)
+    put("train_step_bf16_b128", train16_128)
     put("sun_train_step_b32", sun)
     put("inference_b32", infer)
     put("inference_bf16_b32", infer16)
@@ -380,7 +409,10 @@ def main():
     put("da_conv_64x256_train_b8", da_train)
     extras["tf_cpu_baseline_infer_32x128_b32"] = TF_CPU_BASELINE_INFER_32x128
     extras["device"] = str(jax.devices()[0])
-    extras["mfu_peak_flops"] = V5E_PEAK_FLOPS
+    # MFU denominators are dtype-specific (_peak_flops): f32 configs use the
+    # half-rate peak so their MFU is relative to what f32 can reach.
+    extras["mfu_peak_flops_bf16"] = V5E_PEAK_FLOPS
+    extras["mfu_peak_flops_f32"] = V5E_PEAK_FLOPS / 2
 
     tput = infer["panoramas_per_s"] if infer else 0.0
     result = {

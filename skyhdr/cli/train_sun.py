@@ -48,31 +48,40 @@ def main(argv=None):
         train_step = make_sun_train_step(cfg, banks)
         eval_step = make_sun_eval_step(cfg, load_banks(cfg, args.dorf,
                                                        train=False))
-        loop = TrainLoop(cfg, "SUN", state, train_step, eval_step,
-                         train_ds, test_ds, workdir=args.workdir)
 
         out_dir = os.path.join(args.workdir, "outputImg", "SUN")
+        epoch_hook = None
         if args.outputimg_every:
-            # Wrap eval_step to dump CAM/pred grids once per eval pass (the
-            # reference dumps per epoch, train_sun.py:329-337,363-373).
-            base_eval = eval_step
-            batches_per_epoch = max(len(test_ds), 1)
-            box = {"batch": 0}
+            from skyhdr.utils.io import write_hdr
 
-            def eval_with_dumps(state, batch, key):
-                metrics, outputs = base_eval(state, batch, key)
-                box["batch"] += 1
-                epoch, pos = divmod(box["batch"], batches_per_epoch)
-                if pos == 0 and epoch % max(args.outputimg_every, 1) == 0:
-                    save_image_grid(np.asarray(outputs["pred"]),
-                                    os.path.join(out_dir, "val",
-                                                 f"pred_epoch{epoch}.png"))
-                    save_image_grid(np.asarray(outputs["cams"][0]),
-                                    os.path.join(out_dir, "val",
-                                                 f"cam1_epoch{epoch}.png"))
-                return metrics, outputs
+            # Per-epoch dumps of the LAST eval batch, matching the
+            # reference's set: sun_cam1/2/3 + pred + sungt grids
+            # (train_sun.py:363-373) and a one-time groundTruth HDR dump on
+            # the first completed epoch (train_sun.py:353-359 — visual
+            # sanity for the targets the run is fitting).
+            def epoch_hook(epoch, outputs, batch):
+                if epoch % max(args.outputimg_every, 1) != 0:
+                    return
+                val = os.path.join(out_dir, "val")
+                for name, imgs in [("pred", outputs["pred"]),
+                                   ("sungt", outputs["gt"]),
+                                   ("sun_cam1", outputs["cams"][0]),
+                                   ("sun_cam2", outputs["cams"][1]),
+                                   ("sun_cam3", outputs["cams"][2])]:
+                    save_image_grid(np.asarray(imgs),
+                                    os.path.join(val, name,
+                                                 f"epoch{epoch}.png"))
+                gt_dir = os.path.join(out_dir, "groundTruth")
+                if not os.path.isdir(gt_dir) or not os.listdir(gt_dir):
+                    os.makedirs(gt_dir, exist_ok=True)
+                    hdrs = np.asarray(batch["hdr"])
+                    for i in range(hdrs.shape[0]):
+                        write_hdr(os.path.join(gt_dir, f"{i}_gt.hdr"),
+                                  hdrs[i])
 
-            loop.eval_step = eval_with_dumps
+        loop = TrainLoop(cfg, "SUN", state, train_step, eval_step,
+                         train_ds, test_ds, workdir=args.workdir,
+                         epoch_hook=epoch_hook)
         loop.run(epochs=cfg.train.epochs, rng_seed=args.seed)
         return
 
@@ -97,7 +106,10 @@ def main(argv=None):
     sun_apply = jax.jit(lambda v, x: sunpose_with_cams(
         lambda vv, xx, eps: sun.apply(vv, xx, eps), v, x, None))
 
+    from skyhdr.ops.resize import resize_bilinear
+
     out_dir = os.path.join(args.workdir, "outputImg", "SUN", "eval")
+    h, w = cfg.model.im_height, cfg.model.im_width
     key = jax.random.PRNGKey(args.seed)
     for path in sorted(glob.glob(os.path.join(args.inference_img_dir, "*.hdr"))):
         hdr = read_hdr(path)
@@ -105,13 +117,22 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         _, ldr = degrade_batch(sub, jnp.asarray(hdr)[None], banks)
         sm, cams = sun_apply(state.sun_vars, ldr)
-        pred = np.asarray(sm).reshape(cfg.model.im_height, cfg.model.im_width)
+        pred = np.asarray(sm).reshape(h, w)
+        # CAM-gated prediction (reference train_sun.py:445-447):
+        # sum_pred = cam1 * resize(cam2) * pred, max-normalized.
+        cam2_up = np.asarray(resize_bilinear(cams[1], (h, w)))[0, ..., 0]
+        sum_pred = np.asarray(cams[0])[0, ..., 0] * cam2_up * pred
+        sum_pred = sum_pred / (sum_pred.max() + 1e-5)
         name = os.path.splitext(os.path.basename(path))[0]
+        # The reference's 6-panel figure (train_sun.py:449-471): CAM1-3,
+        # prediction, CAM-gated prediction, source HDR.
         save_eval_panel(
-            [np.asarray(ldr)[0], pred / pred.max(),
-             np.asarray(cams[0])[0], np.clip(hdr, 0, 1)],
-            ["degraded LDR input", "sun-pose prediction", "Grad-CAM 1",
-             "ground-truth HDR (clipped)"],
+            [np.asarray(cams[0])[0], np.asarray(cams[1])[0],
+             np.asarray(cams[2])[0], pred / (pred.max() + 1e-12),
+             sum_pred, np.clip(hdr, 0, 1)],
+            ["Grad-CAM 1", "Grad-CAM 2", "Grad-CAM 3",
+             "sun-pose prediction", "CAM-gated prediction (sum_pred)",
+             f"source HDR (clipped): {name}"],
             os.path.join(out_dir, f"{name}.png"),
         )
         print("wrote", os.path.join(out_dir, f"{name}.png"))

@@ -30,6 +30,10 @@ class ModelConfig:
     da_kernel_size: int = 3
     dilation_rate: int = 1
     use_da_conv: bool = False
+    # DA-conv execution path: 'auto' (Pallas on TPU when the shape fits
+    # VMEM, XLA otherwise), 'pallas' (forced — combine with
+    # pltpu.force_tpu_interpret_mode() off-TPU), or 'xla'.
+    da_backend: str = "auto"
     # Numerics: conv stacks may run bf16; the radiance path (values up to
     # 3e4, reference sunrad_net.py:69) always stays f32.
     compute_dtype: str = "float32"

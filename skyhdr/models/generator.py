@@ -31,7 +31,8 @@ def _conv(cfg: ModelConfig, features: int, kernel: int, strides: int = 1, name=N
     """Plain conv or distortion-aware conv per config (generator.py:13-14)."""
     if cfg.use_da_conv and kernel == cfg.da_kernel_size and strides == 1:
         return DAConv(features, kernel_size=kernel,
-                      dilation_rate=cfg.dilation_rate, name=name)
+                      dilation_rate=cfg.dilation_rate,
+                      backend=cfg.da_backend, name=name)
     return conv(features, kernel, strides, name=name, dtype=_dtype(cfg))
 
 
@@ -58,7 +59,8 @@ class ResBlock(nn.Module):
 def _deconv(cfg: ModelConfig, features: int, out_hw, kernel: int = 3, name=None):
     if cfg.use_da_conv and kernel == cfg.da_kernel_size:
         return DADeconv(features, out_hw=tuple(out_hw), kernel_size=kernel,
-                        dilation_rate=cfg.dilation_rate, name=name)
+                        dilation_rate=cfg.dilation_rate,
+                        backend=cfg.da_backend, name=name)
     return ResizeDeconv(features, tuple(out_hw), kernel, name=name,
                         dtype=_dtype(cfg))
 

@@ -34,7 +34,8 @@ class SunPoseLayer(nn.Module):
         def _conv(name):
             if (self.cfg.use_da_conv and self.kernel == self.cfg.da_kernel_size):
                 return DAConv(self.features, kernel_size=self.kernel,
-                              dilation_rate=self.cfg.dilation_rate, name=name)
+                              dilation_rate=self.cfg.dilation_rate,
+                              backend=self.cfg.da_backend, name=name)
             return conv(self.features, self.kernel, name=name, dtype=dt)
 
         x = nn.relu(InstanceNorm(name="norm1")(_conv("conv1")(x)))

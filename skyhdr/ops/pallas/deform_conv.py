@@ -76,11 +76,14 @@ def _m_block(w: int, h_out: int) -> int:
 
 
 def _mm_dtype(x):
-    """Matmul operand dtype: bf16 inputs run the MXU at native (2x f32)
-    rate, which matters on the compute-bound shapes (K,N >= 128, e.g. the
-    resblock DA convs at c=f=256). The bilinear interp stays f32; only the
-    gathered sample and the weights are rounded — consistent with the
-    model-wide bf16 compute mode that triggers this path."""
+    """Matmul operand dtype. bf16 operands are kept for dtype consistency
+    with the model-wide bf16 compute mode, not for speed: on the shapes this
+    kernel actually serves (c*p <= 128, e.g. the packed (32,64,256,64)
+    deconvs and the c=128 resblock convs) bf16 measured NEUTRAL on the
+    forward (3.95 vs 3.75 ms) and ~5% faster on the backward — the critical
+    path is VPU interp + scratch traffic, not MXU rate (CLAUDE.md, Known
+    perf headroom). The bilinear interp stays f32; only the gathered sample
+    and the weights are rounded."""
     return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
 

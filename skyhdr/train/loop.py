@@ -27,7 +27,8 @@ class TrainLoop:
 
     def __init__(self, cfg: Config, name: str, state, train_step, eval_step,
                  train_ds, test_ds, *, workdir: str = ".",
-                 log: Callable = print, prefetch: int = 2):
+                 log: Callable = print, prefetch: int = 2,
+                 epoch_hook: Optional[Callable] = None):
         self.cfg = cfg
         self.name = name
         self.state = state
@@ -37,6 +38,13 @@ class TrainLoop:
         self.test_ds = test_ds
         self.log = log
         self.prefetch = prefetch
+        # Called as epoch_hook(epoch, eval_outputs, eval_batch) after each
+        # epoch with the LAST eval batch — the reference's per-epoch
+        # CAM/pred/GT dump point (train_sun.py:363-373). The epoch number is
+        # the loop's own (authoritative, checkpoint-resumable) counter, not
+        # inferred from batch counts (a non-constant test set size must not
+        # shift dump labels).
+        self.epoch_hook = epoch_hook
 
         ckpt_dir = os.path.join(workdir, cfg.train.checkpoint_dir, name)
         self.ckpt = CheckpointManager(ckpt_dir, cfg.train.ckpt_max_to_keep)
@@ -79,14 +87,18 @@ class TrainLoop:
                 self.state, metrics = self.train_step(self.state, batch, sub)
                 train_metrics.update(metrics)
 
+            last_eval = None
             for batch in self._feed(self.test_ds):
                 key, sub = jax.random.split(key)
-                metrics, _ = self.eval_step(self.state, batch, sub)
+                metrics, outputs = self.eval_step(self.state, batch, sub)
                 test_metrics.update(metrics)
+                last_eval = (outputs, batch)
 
             self.state = self.state.replace(
                 epoch=self.state.epoch * 0 + epoch
             )
+            if self.epoch_hook is not None and last_eval is not None:
+                self.epoch_hook(epoch, *last_eval)
             self.tb_train.scalars(train_metrics.result(), epoch)
             self.tb_test.scalars(test_metrics.result(), epoch)
 

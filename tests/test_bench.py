@@ -37,6 +37,8 @@ def test_time_chained_threads_carry():
 
     dt = bench._time_chained(step, [1.0, 2.0, 3.0], warmup=1)
     assert dt > 0
-    # warmup consumed inputs[0]; the timed loop then re-ran all three,
-    # each seeded with the accumulated carry (the dependency chain).
-    assert [c for c, _ in calls] == [0.0, 1.0, 2.0, 4.0]
+    # warmup consumed inputs[0]; the timed loop runs ONLY the remaining
+    # inputs (re-timing the warmup input with the same zero carry would be
+    # byte-identical and relay-cacheable), each seeded with the accumulated
+    # carry (the dependency chain).
+    assert [c for c, _ in calls] == [0.0, 1.0, 3.0]

@@ -179,3 +179,47 @@ def test_cli_evaluate_smoke(tmp_path):
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["images"] == 2
     assert np.isfinite(out["psnr"]) and np.isfinite(out["si_rmse"])
+
+
+def test_cli_train_sun_epoch_dumps(tmp_path):
+    """Per-epoch visual dumps match the reference's set (train_sun.py:
+    353-373): sun_cam1/2/3 + pred + sungt grids and a one-time groundTruth
+    HDR dump, labeled by the authoritative state epoch."""
+    pytest.importorskip("matplotlib")
+    root = _write_dataset(str(tmp_path / "data"))
+    from skyhdr.cli.train_sun import main as sun_main
+
+    sun_main(["--train", "true", "--dir", root,
+              "--imheight", str(H), "--imwidth", str(W),
+              "--batchsize", "2", "--epochs", "1", "--ckpt-every", "1",
+              "--workdir", str(tmp_path), "--outputimg-every", "1"])
+    val = tmp_path / "outputImg" / "SUN" / "val"
+    for name in ("pred", "sungt", "sun_cam1", "sun_cam2", "sun_cam3"):
+        assert (val / name / "epoch1.png").exists(), name
+    gts = list((tmp_path / "outputImg" / "SUN" / "groundTruth").glob("*.hdr"))
+    assert len(gts) == 2  # last eval batch, batchsize 2
+    from skyhdr.utils.io import read_hdr
+
+    assert np.isfinite(read_hdr(str(gts[0]))).all()
+
+
+def test_cli_train_sun_eval_mode_six_panels(tmp_path):
+    """--train false renders the reference's 6-panel figure
+    (train_sun.py:449-471): CAM1-3, pred, CAM-gated pred, source HDR."""
+    pytest.importorskip("matplotlib")
+    from skyhdr.utils.io import write_hdr
+
+    hdr_dir = tmp_path / "hdrs"
+    hdr_dir.mkdir()
+    rng = np.random.default_rng(3)
+    img = (rng.uniform(0, 1, size=(H, W, 3)) ** 2 * 4).astype(np.float32)
+    img[5, 30] = 300.0
+    write_hdr(str(hdr_dir / "scene.hdr"), img)
+
+    from skyhdr.cli.train_sun import main as sun_main
+
+    sun_main(["--train", "false", "--inference_img_dir", str(hdr_dir),
+              "--imheight", str(H), "--imwidth", str(W),
+              "--workdir", str(tmp_path)])
+    panel = tmp_path / "outputImg" / "SUN" / "eval" / "scene.png"
+    assert panel.exists()

@@ -56,7 +56,12 @@ python -m skyhdr.cli.dataset_generator --dir "$WORK/laval" --out "$WORK" \
 echo "=== train_sun"
 python -m skyhdr.cli.train_sun --train true --dir "$WORK/dataset_64_16/tfrecord" \
     --imheight 16 --imwidth 64 --batchsize 2 --epochs 2 --ckpt-every 1 \
-    --workdir "$WORK" --outputimg-every 0
+    --workdir "$WORK" --outputimg-every 1
+# Per-epoch dump set matches the reference (train_sun.py:353-373).
+for d in pred sungt sun_cam1 sun_cam2 sun_cam3; do
+    test -f "$WORK/outputImg/SUN/val/$d/epoch2.png" || { echo "missing $d dump"; exit 1; }
+done
+ls "$WORK"/outputImg/SUN/groundTruth/*.hdr >/dev/null || { echo "missing GT HDR dump"; exit 1; }
 
 echo "=== train (GAN)"
 python -m skyhdr.cli.train --dir "$WORK/dataset_64_16/tfrecord" \
