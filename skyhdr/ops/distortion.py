@@ -302,8 +302,17 @@ def deformable_conv2d(x, kernel, bias, *, kernel_size: int = 3, stride: int = 1,
 
 def _dispatch_da_conv(x, kernel, bias, *, kernel_size, stride, dilation_rate,
                       skydome, backend: str = "auto"):
-    """Select the execution path: 'xla', 'pallas', or 'auto' (Pallas on TPU
-    when the image block fits VMEM, XLA otherwise)."""
+    """Select the execution path: 'xla', 'pallas', 'sharded' (Pallas with
+    custom_partitioning batch rules — required inside GSPMD-sharded jits,
+    see skyhdr.ops.pallas.sharded), or 'auto' (Pallas on TPU when the
+    image block fits VMEM, XLA otherwise)."""
+    if backend == "sharded":
+        from skyhdr.ops.pallas.sharded import deformable_conv2d_sharded
+
+        return deformable_conv2d_sharded(
+            x, kernel, bias, kernel_size=kernel_size, stride=stride,
+            dilation_rate=dilation_rate, skydome=skydome,
+        )
     if backend == "pallas" or (backend == "auto"
                                and jax.default_backend() != "cpu"):
         from skyhdr.ops.pallas.deform_conv import (deformable_conv2d_pallas,

@@ -230,7 +230,8 @@ def _kernel_k3(rblk: int, mblk: int, w: int, c: int, f: int,
             acc.reshape(mblk, w, f).astype(out_ref.dtype))
 
 
-def _forward_k3(x, kernel, *, dilation_rate: int, skydome: bool):
+def _forward_k3(x, kernel, *, dilation_rate: int, skydome: bool,
+                interpret: bool = False):
     """k=3 fast path (dedup + pack + M-block). Exact same arithmetic as the
     generic kernel — the restructurings only regroup loads and matmuls."""
     b, h, w, c = x.shape
@@ -274,7 +275,7 @@ def _forward_k3(x, kernel, *, dilation_rate: int, skydome: bool):
     )
     body = functools.partial(_kernel_k3, rblk, mblk, w, pc, pf)
     out = pl.pallas_call(
-        body, grid_spec=grid_spec,
+        body, grid_spec=grid_spec, interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((b // p, h_out, w, pf), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h_out * w * k2 * c * f,
@@ -296,14 +297,14 @@ def _dedup_valid(t) -> bool:
 
 
 def _pallas_forward(x, kernel, *, kernel_size: int, dilation_rate: int,
-                    skydome: bool):
+                    skydome: bool, interpret: bool = False):
     b, h, w, c = x.shape
     k2 = kernel_size * kernel_size
     f = kernel.shape[-1]
     t = gather_tables(h, w, kernel_size, 1, dilation_rate, skydome)
     if (kernel_size == 3 and t.y0.shape[0] % 2 == 0 and _dedup_valid(t)):
         return _forward_k3(x, kernel, dilation_rate=dilation_rate,
-                           skydome=skydome)
+                           skydome=skydome, interpret=interpret)
     h_out = t.y0.shape[0]
     store = _store_dtype(x.shape, kernel_size) or jnp.float32
     xp = jnp.pad(x, ((0, 0), (t.pad, t.pad), (0, 0), (0, 0))).astype(store)
@@ -329,7 +330,7 @@ def _pallas_forward(x, kernel, *, kernel_size: int, dilation_rate: int,
     body = functools.partial(_kernel_body, k2, rblk, w, c, f)
     out = pl.pallas_call(
         body,
-        grid_spec=grid_spec,
+        grid_spec=grid_spec, interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((b, h_out, w, f), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h_out * w * k2 * c * f,
@@ -506,7 +507,7 @@ def _row_block(n: int, target: int = 8) -> int:
 
 
 def _pallas_dk(x, g, *, kernel_size: int, dilation_rate: int, skydome: bool,
-               f: int):
+               f: int, interpret: bool = False):
     b, h, w, c = x.shape
     k2 = kernel_size * kernel_size
     t = gather_tables(h, w, kernel_size, 1, dilation_rate, skydome)
@@ -541,7 +542,7 @@ def _pallas_dk(x, g, *, kernel_size: int, dilation_rate: int, skydome: bool,
         scratch_shapes=[pltpu.VMEM((2 * w, c), jnp.float32)],
     )
     return pl.pallas_call(
-        body, grid_spec=grid_spec,
+        body, grid_spec=grid_spec, interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((k2 * c, f), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h_out * w * k2 * c * f,
@@ -551,7 +552,7 @@ def _pallas_dk(x, g, *, kernel_size: int, dilation_rate: int, skydome: bool,
 
 
 def _pallas_dx(g, kernel, *, kernel_size: int, dilation_rate: int,
-               skydome: bool, x_shape):
+               skydome: bool, x_shape, interpret: bool = False):
     b, h, w, c = x_shape
     k2 = kernel_size * kernel_size
     f = kernel.shape[-1]
@@ -578,7 +579,7 @@ def _pallas_dx(g, kernel, *, kernel_size: int, dilation_rate: int,
         body = functools.partial(_dx_k3_kernel, st.nslots, rblk, w, pc, pf)
         scalars = (st.si, st.sw, st.sky, st.scx, st.swx)
         out = pl.pallas_call(
-            body,
+            body, interpret=interpret,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=5,
                 grid=(b // p, h // rblk),
@@ -623,7 +624,7 @@ def _pallas_dx(g, kernel, *, kernel_size: int, dilation_rate: int,
     )
     body = functools.partial(_dx_kernel, st.nrefs, rblk, w, c, f)
     return pl.pallas_call(
-        body, grid_spec=grid_spec,
+        body, grid_spec=grid_spec, interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * st.nrefs * w * c * f,

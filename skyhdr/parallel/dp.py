@@ -7,12 +7,25 @@ backend is hand-built, per the TPU recipe in SURVEY.md §2.3.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from skyhdr.config import Config
 from skyhdr.data.degradation import DegradationBanks
 from skyhdr.train.engine import make_gan_train_step, make_sun_train_step
+
+
+def _mesh_cfg(cfg: Config) -> Config:
+    """Inside a GSPMD-sharded jit the plain Pallas path is an opaque custom
+    call the partitioner cannot split; route DA convs through the
+    custom_partitioning wrappers (skyhdr.ops.pallas.sharded) instead.
+    Explicit da_backend settings ('xla', 'pallas') are respected."""
+    if cfg.model.use_da_conv and cfg.model.da_backend == "auto":
+        return cfg.replace(
+            model=dataclasses.replace(cfg.model, da_backend="sharded"))
+    return cfg
 
 
 def _shardings_for_batch(mesh: Mesh, shard_width: bool = False):
@@ -39,7 +52,8 @@ def make_parallel_gan_train_step(cfg: Config, banks: DegradationBanks,
 
     # Build the raw python step (jit=False) and jit it once with explicit
     # shardings — never unwrap a jitted callable.
-    raw_step = make_gan_train_step(cfg, banks, vgg_weights, jit=False)
+    raw_step = make_gan_train_step(_mesh_cfg(cfg), banks, vgg_weights,
+                                   jit=False)
 
     step = jax.jit(
         raw_step,
@@ -58,7 +72,7 @@ def make_parallel_sun_train_step(cfg: Config, banks: DegradationBanks,
                                  mesh: Mesh):
     rep = NamedSharding(mesh, P())
     batch_sh = _shardings_for_batch(mesh)
-    raw_step = make_sun_train_step(cfg, banks, jit=False)
+    raw_step = make_sun_train_step(_mesh_cfg(cfg), banks, jit=False)
     step = jax.jit(
         raw_step,
         in_shardings=(rep, batch_sh, rep),
