@@ -10,21 +10,28 @@ Two ops:
   * ring_conv2d            — plain SAME conv under shard_map; halo columns
     travel one hop around the ring. padding='cyclic' gives true 360-degree
     wrap; padding='zeros' reproduces the reference's zero-padded seam.
-  * ring_deformable_conv2d — the distortion-aware conv; its column shifts
-    grow unboundedly toward the zenith, so the input rides one all-gather
-    over the width axis while each device computes only its own output
-    columns (compute still splits W-ways; the gather is the bandwidth price
-    of pole-sized halos).
+  * ring_deformable_conv2d — the distortion-aware conv with BOUNDED
+    ppermute halos. The column shifts do NOT grow unboundedly toward the
+    zenith: the tangent basis t_x = v x p degenerates at the pole
+    (skyhdr.ops.distortion.distortion_offsets), so the per-row max shift is
+    small and static (3 columns at every supported resolution, k=3 d=1 —
+    see ring_da_plan). Each device therefore exchanges only
+    halo = max|shift|+1 columns per side with its ring neighbors; the
+    all-gather strategy survives only as the fallback for configurations
+    whose halo would exceed the local width (large dilation / tiny shards).
 """
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from skyhdr.ops.distortion import deformable_conv2d
+from skyhdr.ops.distortion import deformable_conv2d, gather_tables
 
 
 def _exchange_halos(xl, pad: int, axis_name: str):
@@ -75,32 +82,95 @@ def ring_conv2d(x, kernel, bias=None, *, mesh: Mesh, padding: str = "cyclic"):
     return mapped(x, kernel, bias)
 
 
+@functools.lru_cache(maxsize=None)
+def ring_da_plan(h: int, w: int, w_local: int, kernel_size: int = 3,
+                 dilation_rate: int = 1, skydome: bool = True):
+    """Static communication plan for the width-sharded DA conv.
+
+    Returns (mode, halo): mode == 'halo' when every per-row column shift
+    fits a bounded neighbor exchange of `halo` columns per side
+    (halo = max|signed shift| + 1, the +1 for the bilinear x1 neighbor),
+    'gather' when the halo would exceed one shard's width (then only a full
+    all-gather is correct — a halo spanning >1 hop is not exchanged)."""
+    t = gather_tables(h, w, kernel_size, 1, dilation_rate, skydome)
+    signed = ((t.cx0 + w // 2) % w) - w // 2
+    halo = int(np.maximum(np.abs(signed), np.abs(signed + 1)).max())
+    return ("halo" if halo <= w_local else "gather"), halo
+
+
 def ring_deformable_conv2d(x, kernel, bias, *, mesh: Mesh,
                            kernel_size: int = 3, dilation_rate: int = 1,
-                           skydome: bool = True):
-    """Width-sharded distortion-aware conv: all-gather the width axis, run
-    the structured-gather conv on the local output columns only.
+                           skydome: bool = True, force_gather: bool = False):
+    """Width-sharded distortion-aware conv over the `width` ring.
 
     x: [b, h, W, c] sharded over `width`; kernel [k^2*c, f].
+
+    Default path ('halo' of ring_da_plan): exchange halo columns with both
+    ring neighbors (2*halo*H*b*c bytes/device vs (W - W_local)*H*b*c for
+    the all-gather — 7x less at W=64 over 8 devices), then evaluate the
+    structured gather entirely locally: the per-(row, tap) column shift is
+    device-independent, so the extended-coordinate index matrix
+    j + halo + shift is static. The reference's wraparound
+    (distortion_aware_ops.py:76-77) happens *physically* — the halos
+    travel cyclically around the ring.
     """
     b, h, w, c = x.shape
     axis = "width"
+    k2 = kernel_size * kernel_size
+    f = kernel.shape[-1]
+    t = gather_tables(h, w, kernel_size, 1, dilation_rate, skydome)
+    h_out = t.y0.shape[0]
+    # Signed column shift per (row, tap); static, device-independent.
+    signed = ((t.cx0 + w // 2) % w) - w // 2
+    w_local = w // mesh.shape[axis]
+    mode, halo = ring_da_plan(h, w, w_local, kernel_size, dilation_rate,
+                              skydome)
 
-    def local_fn(xl, k, bias_):
-        idx = lax.axis_index(axis)
-        w_local = xl.shape[2]
-        # Full panorama on every device (tiled=True keeps the width layout),
-        # but each device computes ONLY its own output columns — the matmul
-        # FLOPs split W-ways.
-        full = lax.all_gather(xl, axis, axis=2, tiled=True)
-        return deformable_conv2d(
-            full, k, bias_, kernel_size=kernel_size,
-            dilation_rate=dilation_rate, skydome=skydome,
-            col_start=idx * w_local, out_cols=w_local,
+    if force_gather or mode == "gather":
+        def gather_fn(xl, k, bias_):
+            idx = lax.axis_index(axis)
+            wl = xl.shape[2]
+            full = lax.all_gather(xl, axis, axis=2, tiled=True)
+            return deformable_conv2d(
+                full, k, bias_, kernel_size=kernel_size,
+                dilation_rate=dilation_rate, skydome=skydome,
+                col_start=idx * wl, out_cols=wl,
+            )
+
+        mapped = shard_map(
+            gather_fn, mesh=mesh,
+            in_specs=(P(None, None, "width", None), P(), P()),
+            out_specs=P(None, None, "width", None),
         )
+        return mapped(x, kernel, bias)
+
+    def halo_fn(xl, k, bias_):
+        wl = xl.shape[2]
+        from_left, from_right = _exchange_halos(xl, halo, axis)
+        xe = jnp.concatenate([from_left, xl, from_right], axis=2)
+        xe = jnp.pad(xe, ((0, 0), (t.pad, t.pad), (0, 0), (0, 0)))
+        kern = k.reshape(k2, c, f)
+        out = jnp.zeros((b, h_out, wl, f), jnp.float32)
+        ih = lax.broadcasted_iota(jnp.int32, (h_out, wl), 0)
+        jw = lax.broadcasted_iota(jnp.int32, (h_out, wl), 1)
+        for tap in range(k2):
+            wy = jnp.asarray(t.wy[:, tap])[None, :, None, None]
+            wx = jnp.asarray(t.wx[:, tap])[None, :, None, None]
+            row0 = jnp.take(xe, jnp.asarray(t.y0[:, tap]), axis=1)
+            row1 = jnp.take(xe, jnp.asarray(t.y1[:, tap]), axis=1)
+            row_y = (1 - wy) * row0 + wy * row1  # [b, h_out, wl+2*halo, c]
+            # Extended coords: local col j samples j + halo + shift; the
+            # |shift| <= halo bound makes every index in range — no mod.
+            xmat = jw + (halo + signed[:, tap][:, None])
+            g0 = row_y[:, ih, xmat, :]
+            g1 = row_y[:, ih, xmat + 1, :]
+            sample = (1 - wx) * g0 + wx * g1
+            out = out + jnp.einsum("bhwc,cf->bhwf", sample, kern[tap],
+                                   preferred_element_type=jnp.float32)
+        return (out + bias_).astype(xl.dtype)
 
     mapped = shard_map(
-        local_fn, mesh=mesh,
+        halo_fn, mesh=mesh,
         in_specs=(P(None, None, "width", None), P(), P()),
         out_specs=P(None, None, "width", None),
     )

@@ -82,21 +82,46 @@ def test_ring_conv_zeros_matches_same_conv(rng):
 
 
 def test_ring_deformable_matches_single_device(rng):
-    from skyhdr.parallel.spatial import ring_deformable_conv2d
+    """Both comm strategies — bounded ppermute halos (default; the column
+    shifts are bounded because the tangent basis degenerates at the zenith)
+    and the all-gather fallback — must match the single-device conv."""
+    from skyhdr.parallel.spatial import ring_da_plan, ring_deformable_conv2d
 
     mesh = make_mesh(data=1, width=8)
     x = rng.normal(size=(1, 8, 64, 3)).astype(np.float32)
     kernel = rng.normal(size=(27, 4)).astype(np.float32) * 0.2
     bias = rng.normal(size=(4,)).astype(np.float32)
 
+    mode, halo = ring_da_plan(8, 64, 8)
+    assert mode == "halo"
+    # Bytes exchanged per device: 2*halo columns vs (W - W_local) for the
+    # all-gather — the bounded plan must be a real reduction.
+    assert 2 * halo < 64 - 8
+
+    expected = np.asarray(
+        deformable_conv2d(jnp.asarray(x), jnp.asarray(kernel), jnp.asarray(bias))
+    )
     got = np.asarray(
         ring_deformable_conv2d(jnp.asarray(x), jnp.asarray(kernel),
                                jnp.asarray(bias), mesh=mesh)
     )
-    expected = np.asarray(
-        deformable_conv2d(jnp.asarray(x), jnp.asarray(kernel), jnp.asarray(bias))
-    )
     np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+    got_gather = np.asarray(
+        ring_deformable_conv2d(jnp.asarray(x), jnp.asarray(kernel),
+                               jnp.asarray(bias), mesh=mesh,
+                               force_gather=True)
+    )
+    np.testing.assert_allclose(got_gather, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_ring_da_plan_gather_fallback():
+    """A dilation big enough to push shifts past one shard's width must
+    select the all-gather strategy (halo exchange is single-hop only)."""
+    from skyhdr.parallel.spatial import ring_da_plan
+
+    mode, halo = ring_da_plan(8, 64, 2, dilation_rate=16)
+    assert mode == "gather" and halo > 2
 
 
 def test_data_parallel_sun_step_matches_single_device():
