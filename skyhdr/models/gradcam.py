@@ -14,6 +14,8 @@ cam = relu(sum_c w_c * A_c), one channel, no normalization.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -28,6 +30,15 @@ def _select_y_c(sm, sunpose_gt):
     return jnp.take_along_axis(sm, idx[:, None], axis=-1)[:, 0]
 
 
+def _yc_seed(sm, sunpose_gt):
+    """d(sum_b y_c)/d(sm) as an explicit one-hot batch: the cotangent seed
+    that replaces differentiating _select_y_c (y_c is a single gather per
+    sample, so its gradient is a one-hot row at the selected bin)."""
+    src = sm if sunpose_gt is None else sunpose_gt
+    idx = jnp.argmax(src, axis=-1)
+    return jax.nn.one_hot(idx, sm.shape[-1], dtype=sm.dtype)
+
+
 def _cam_from_grad(grad, act):
     """relu(einsum('bc,bhwc->bhw')) with GAP channel weights
     (reference grad_cam.py:33-44). Returns [b, h, w, 1]."""
@@ -37,45 +48,65 @@ def _cam_from_grad(grad, act):
     return cam[..., None]
 
 
-def sunpose_with_cams(sunpose_apply, sun_vars, x, sunpose_gt=None):
-    """Run the sun-pose net and produce the three Grad-CAM maps.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sunpose_cams_core(sunpose_apply, sun_vars, x, sunpose_gt):
+    return _sunpose_cams_fwd(sunpose_apply, sun_vars, x, sunpose_gt)[0]
 
-    sunpose_apply: bound apply fn (vars, x, eps) -> (sm, (a1, a2, a3)).
-    Returns (sm [b, bins], (cam1, cam2, cam3)). CAMs (and only CAMs) are
-    gradient-stopped, mirroring the reference's stop_recording block
-    (train.py:257): the outer loss gradient flows through `sm` but not
-    through the attention maps.
-    """
-    # Probe shapes without building perturbations by hand.
+
+def _sunpose_cams_fwd(sunpose_apply, sun_vars, x, sunpose_gt):
+    """ONE network forward serves the KL path, the CAM gradients AND (via
+    saved vjp residuals) the outer backward.
+
+    The previous structure ran a separate differentiable forward next to a
+    gradient-stopped `jax.value_and_grad` forward and relied on XLA CSE to
+    merge them; profiling on the 64x256 config showed CSE never fires (the
+    CAM forward's fusions also emit the activations, so the fc matmuls —
+    2.1 GB of weight streaming each at that size — executed twice).
+    custom_vjp makes the sharing structural instead of hoping for CSE, and
+    it also keeps the outer AD away from the CAM pull graph, which contains
+    Pallas custom-vjp ops with no JVP rule (the old code needed
+    symbolic-zero tangents for that; here the fwd is simply never
+    differentiated)."""
     sm_shape, act_shapes = jax.eval_shape(
         lambda v, xx: sunpose_apply(v, xx, None), sun_vars, x
     )
     eps0 = tuple(jnp.zeros(s.shape, s.dtype) for s in act_shapes)
+    zeros_acts = tuple(jnp.zeros(s.shape, s.dtype) for s in act_shapes)
 
-    # Differentiable path for the KL loss: a plain forward (XLA CSEs it
-    # against the CAM forward below — identical primal computation).
-    sm = sunpose_apply(sun_vars, x, None)[0]
-
-    # CAM path from gradient-STOPPED copies: the outer loss linearization
-    # must never push tangents into this inner vjp — it contains
-    # pallas_call ops (DA convs) with no JVP rule, and the reference
-    # computes CAMs inside stop_recording anyway (train.py:257-271).
-    # With all inputs stopped, every op here carries symbolic-zero
-    # tangents and the outer AD skips them entirely.
-    sv0 = jax.lax.stop_gradient(sun_vars)
-    x0 = jax.lax.stop_gradient(x)
-    gt0 = (None if sunpose_gt is None
-           else jax.lax.stop_gradient(sunpose_gt))
-
-    def f(eps):
-        sm_c, acts = sunpose_apply(sv0, x0, eps)
-        y_c = _select_y_c(sm_c, gt0)
-        return jnp.sum(y_c), acts
-
-    # One forward + one backward; grads arrive for all three activations.
-    (_, acts), grads = jax.value_and_grad(f, has_aux=True)(eps0)
-
-    cams = tuple(
-        jax.lax.stop_gradient(_cam_from_grad(g, a)) for g, a in zip(grads, acts)
+    (sm, acts), pull = jax.vjp(
+        lambda v, xx, e: sunpose_apply(v, xx, e), sun_vars, x, eps0
     )
-    return sm, cams
+
+    # CAM gradients: d(sum y_c)/d(activation) = pull of the one-hot seed
+    # through the SAME residuals (d/d(eps) at eps=0 == d/d(activation)).
+    seed = _yc_seed(jax.lax.stop_gradient(sm), sunpose_gt)
+    _, _, deps = pull((seed, zeros_acts))
+    cams = tuple(_cam_from_grad(g, a) for g, a in zip(deps, acts))
+    return (sm, cams), (pull, zeros_acts)
+
+
+def _sunpose_cams_bwd(sunpose_apply, res, ct):
+    """Outer cotangent flows through `sm` only; the CAM cotangents are
+    DISCARDED — the stop_recording semantics of reference train.py:257-271.
+    The pull closure from the forward is reused, so the backward shares the
+    forward's residuals instead of rebuilding the network."""
+    pull, zeros_acts = res
+    d_sm, _d_cams = ct
+    d_vars, d_x, _ = pull((d_sm, zeros_acts))
+    # sunpose_gt only selects the CAM bin (argmax) — zero cotangent.
+    return d_vars, d_x, None
+
+
+_sunpose_cams_core.defvjp(_sunpose_cams_fwd, _sunpose_cams_bwd)
+
+
+def sunpose_with_cams(sunpose_apply, sun_vars, x, sunpose_gt=None):
+    """Run the sun-pose net and produce the three Grad-CAM maps.
+
+    sunpose_apply: bound apply fn (vars, x, eps) -> (sm, (a1, a2, a3)).
+    Returns (sm [b, bins], (cam1, cam2, cam3)). The outer loss gradient
+    flows through `sm` but not through the attention maps, mirroring the
+    reference's stop_recording block (train.py:257); see _sunpose_cams_fwd
+    for the single-forward structure.
+    """
+    return _sunpose_cams_core(sunpose_apply, sun_vars, x, sunpose_gt)
