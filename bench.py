@@ -149,10 +149,17 @@ def _graph_flops(jitted, *args):
     return 0.0
 
 
-def bench_inference(cfg, batch, iters=20, repeats=3):
+def bench_inference(cfg, batch, iters=20, repeats=3, weights_dtype=None):
     from skyhdr.train.engine import create_gan_state, make_inference_fn
+    from skyhdr.utils.params import cast_model_vars
 
     state = create_gan_state(cfg, jax.random.PRNGKey(0))
+    if weights_dtype is not None:
+        # bf16-weight serving: halves the HBM weight-streaming bytes (the
+        # 64x256 config's sunpose FCs alone are 3.2 GB f32 — BASELINE.md).
+        state = state.replace(
+            gen_vars=cast_model_vars(state.gen_vars, weights_dtype),
+            sun_vars=cast_model_vars(state.sun_vars, weights_dtype))
     infer = make_inference_fn(cfg, jit=False)
     shape = (batch, cfg.model.im_height, cfg.model.im_width, 3)
 
@@ -427,6 +434,15 @@ def main():
                         data=DataConfig(batch_size=32))
     da16 = run("DA-conv inference 64x256 b32 bf16",
                lambda: bench_inference(cfg64_bf16, 32, iters=20))
+    # bf16-WEIGHT serving (skyhdr.utils.params.cast_model_vars): stored
+    # params cast once outside the graph, halving the weight bytes in HBM
+    # (the 64x256 sunpose FCs are 3.2 GB f32). In the scan-chained bench
+    # the f32->bf16 weight cast is loop-invariant and XLA hoists it, so
+    # the in-chain delta is modest (~0.3-0.6 ms); per-dispatch serving
+    # additionally saves the halved weight upload/residency.
+    da16w = run("DA-conv inference 64x256 b32 bf16c+bf16w",
+                lambda: bench_inference(cfg64_bf16, 32, iters=20,
+                                        weights_dtype="bfloat16"))
     # repeats=4 with the min taken across passes: the first pass after the
     # big 64x256 compiles has measured 1.8x contaminated (BENCH_r02 spread
     # [133, 75]) — >=3 clean samples are required for a trustworthy MFU.
@@ -462,6 +478,7 @@ def main():
     put("eval_pipeline_b32", evalp)
     put("da_conv_64x256_infer_b32", da)
     put("da_conv_64x256_infer_b32_bf16", da16)
+    put("da_conv_64x256_infer_b32_bf16w", da16w)
     put("da_conv_64x256_train_b8", da_train)
     extras["tf_cpu_baseline_infer_32x128_b32"] = TF_CPU_BASELINE_INFER_32x128
     extras["device"] = str(jax.devices()[0])

@@ -32,6 +32,11 @@ def main(argv=None):
     parser.add_argument("--render-dir", type=str, default=None,
                         help="also write tone-mapped PNG previews of "
                              "(input LDR, reconstruction, target) per batch")
+    parser.add_argument("--weights-dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="cast restored weights for serving (quality "
+                             "impact of bf16-weight inference is measured "
+                             "with exactly this flag — BASELINE.md)")
     args = parser.parse_args(argv)
 
     cfg = config_from_args(args)
@@ -54,6 +59,13 @@ def main(argv=None):
         restored = CheckpointManager(sun_dir).restore_latest(sun_state)
         if restored is not None:
             state = state.replace(sun_vars=restored.sun_vars)
+
+    if args.weights_dtype != "float32":
+        from skyhdr.utils.params import cast_model_vars
+
+        state = state.replace(
+            gen_vars=cast_model_vars(state.gen_vars, args.weights_dtype),
+            sun_vars=cast_model_vars(state.sun_vars, args.weights_dtype))
 
     infer = make_inference_fn(cfg)
 

@@ -47,6 +47,11 @@ def main(argv=None):
     parser.add_argument("--outdir", type=str, default="inference_out")
     parser.add_argument("--sky", type=str, default=None)
     parser.add_argument("--sun", type=str, default=None)
+    parser.add_argument("--weights-dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="cast restored weights for serving; bfloat16 "
+                             "halves HBM weight streaming (the dominant "
+                             "cost at 64x256 — BASELINE.md)")
     args = parser.parse_args(argv)
 
     cfg = config_from_args(args)
@@ -78,6 +83,13 @@ def main(argv=None):
         if restored is not None:
             state = state.replace(sun_vars=restored.sun_vars)
             print("Latest SUN checkpoint restored")
+
+    if args.weights_dtype != "float32":
+        from skyhdr.utils.params import cast_model_vars
+
+        state = state.replace(
+            gen_vars=cast_model_vars(state.gen_vars, args.weights_dtype),
+            sun_vars=cast_model_vars(state.sun_vars, args.weights_dtype))
 
     infer = make_inference_fn(cfg)
 
