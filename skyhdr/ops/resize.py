@@ -17,6 +17,7 @@ import functools
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 
 @functools.lru_cache(maxsize=None)
@@ -63,6 +64,59 @@ def _upsample_axis_int(img, axis: int, s: int):
     return out.reshape(new_shape)
 
 
+@functools.lru_cache(maxsize=None)
+def _up_taps(s: int) -> np.ndarray:
+    """Dilated-conv taps reproducing the half-pixel integer-factor upsample.
+
+    With the input edge-padded by 1 and lhs-dilated by `s`, correlating
+    with K (length 3s-1, conv padding lo=s-1 / hi=s-2) yields exactly
+    u[s*i + r] = (1-t_r) x[clip(i+d_r)] + t_r x[clip(i+d_r+1)] for every
+    phase r — each phase's two taps land on distinct kernel slots
+    (k = s-1-r + s*m), so phases never collide.
+    """
+    K = np.zeros(3 * s - 1, np.float32)
+    for r in range(s):
+        f = (r + 0.5) / s - 0.5
+        lo, t = (0, 1.0 + f) if f < 0 else (1, f)
+        K[s - 1 - r + s * lo] += 1.0 - t
+        K[s - 1 - r + s * (lo + 1)] += t
+    return K
+
+
+def _upsample_2d_dilconv(x, sh: int, sw: int):
+    """[b,h,w,c] -> [b,sh*h,sw*w,c] half-pixel bilinear upsample as ONE
+    depthwise conv_general_dilated.
+
+    2x faster forward and 3x faster backward than the stack+reshape phase
+    interleave on TPU (tools/exp_resize.py: decode2 upsample 7.2 -> 3.9 ms
+    fwd, 15.6 -> 6.5 ms bwd at (32,32,128,128)): XLA's native transposed-
+    conv lowering replaces the materialized interleave relayout, and the
+    autodiff backward is again a conv instead of a strided-slice scatter.
+    Bit-exact vs the interleave (incl. the clamp boundary, via the edge
+    pad) at Precision.HIGHEST — the TPU default precision would round the
+    0.25/0.75 blends through single-pass bf16 (measured 7.6e-3 abs).
+    """
+    c = x.shape[-1]
+    pads, taps, edge = [], [], []
+    for s in (sh, sw):
+        if s == 1:
+            pads.append((0, 0))
+            taps.append(np.ones((1,), np.float32))
+            edge.append((0, 0))
+        else:
+            pads.append((s - 1, s - 2))
+            taps.append(_up_taps(s))
+            edge.append((1, 1))
+    xe = jnp.pad(x, ((0, 0), edge[0], edge[1], (0, 0)), mode="edge")
+    k2d = jnp.asarray(np.outer(taps[0], taps[1]), x.dtype)
+    rhs = jnp.broadcast_to(k2d[:, :, None, None],
+                           k2d.shape + (1, c)).astype(x.dtype)
+    return lax.conv_general_dilated(
+        xe, rhs, (1, 1), tuple(pads), lhs_dilation=(sh, sw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=lax.Precision.HIGHEST)
+
+
 def resize_bilinear(img, size):
     """Resize [..., h, w, c] -> [..., H, W, c] with bilinear interpolation."""
     H, W = int(size[0]), int(size[1])
@@ -70,9 +124,12 @@ def resize_bilinear(img, size):
     if (h, w) == (H, W):
         return img
     # Fast path: integer upscaling (2x decoder stages, 2x/4x CAM and DoG
-    # upsampling) via phase interleave.
+    # upsampling) — a single dilated depthwise conv on 4D inputs, phase
+    # interleave otherwise.
     out = img
     if H % h == 0 and W % w == 0 and H // h >= 1 and W // w >= 1 and (H > h or W > w):
+        if out.ndim == 4:
+            return _upsample_2d_dilconv(out, H // h, W // w)
         if H > h:
             out = _upsample_axis_int(out, out.ndim - 3, H // h)
         if W > w:
