@@ -24,6 +24,17 @@ import flax.linen as nn
 from skyhdr.ops.resize import resize_bilinear
 
 
+def instance_moments(xf):
+    """Per-(sample, channel) mean/variance over (H, W).
+
+    Exposed as a module-level hook so experiments can swap strategies
+    (tools/exp_in.py). Default: jnp.mean + jnp.var — two serialized reduce
+    ops per call."""
+    mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
+    var = jnp.var(xf, axis=(-3, -2), keepdims=True)
+    return mean, var
+
+
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel normalization over (H, W) with learned scale
     and offset. Matches tfa.layers.InstanceNormalization (epsilon=1e-3)."""
@@ -37,8 +48,7 @@ class InstanceNorm(nn.Module):
         beta = self.param("bias", nn.initializers.zeros, (c,))
         # Statistics in f32 even under bf16 compute for stability.
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
-        var = jnp.var(xf, axis=(-3, -2), keepdims=True)
+        mean, var = instance_moments(xf)
         y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
         return (y * gamma + beta).astype(x.dtype)
 

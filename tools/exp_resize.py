@@ -17,9 +17,19 @@ at 64x256 b32 vs a ~0.7 ms copy floor (CLAUDE.md). Candidates:
           K4[k1]K4[k2]. Exact in the interior; the conv3x3's zero-pad
           phantom ring differs on the outermost output row/col (the
           composed form sees the natural clamp extension u_nat[-1]=up(x0)
-          instead of zeros). Checked interior-only here; the exact border
-          correction (4 strip convs + corner terms) is only worth writing
-          if this wins the timing.
+          instead of zeros).
+  fus-x : fused + the EXACT border fix — the phantom ring is exactly the
+          2x-upsampled boundary rows/cols (u_nat[-1,:]=up_w(x[0,:]),
+          corners x[0,0] etc.), so four 1D strip convs subtracted from the
+          outermost output ring restore SAME-conv semantics. Validated to
+          f32 roundoff (fwd, dx, dW).
+
+CONCLUSION (TPU, 2026-08-18): fus-x LOSES — the four strip convs + ring
+updates cost ~3 ms of small-op overhead at decode1 (6.14 ms vs 3.26 dil)
+and ~0.4 ms at decode2, exceeding the composed conv's win (fused-nat beats
+dil by only 0.3-0.9 ms). The production path stays upsample-dilconv +
+separate conv3x3 (skyhdr/ops/resize.py). fused-nat is unusable directly
+(wrong border semantics vs the reference).
 
 Timing uses the chained distinct-input protocol (tools/bench_daconv.py).
 Run on TPU: PYTHONPATH=/root/repo python tools/exp_resize.py
@@ -95,6 +105,60 @@ def fused_nat(x, W):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def _up1d(x4, axis):
+    """2x half-pixel bilinear upsample of a 4D tensor along one spatial axis."""
+    from skyhdr.ops.resize import resize_bilinear
+    b, h, w, c = x4.shape
+    size = (2 * h, w) if axis == 1 else (h, 2 * w)
+    return resize_bilinear(x4, size)
+
+
+def fused_exact(x, W):
+    """Upsample+conv3x3 as ONE 6x6 dilated conv PLUS exact border fix.
+
+    fused_nat's only deviation from conv3_same(up2(x), W) is the outermost
+    output ring: the composed conv sees the clamp-extended phantom values
+    u_nat[-1,:] = up_w(x[0,:]) (with corners x[0,0]/x[0,w-1]) instead of the
+    SAME-conv's zero pad. Derivation: u_nat[-1] = .75 x[-1] + .25 x[0] =
+    x[0] under clamp, and the dilated grid's zero-pad slot at index -1 is an
+    odd (zero) slot of the natural dilation, so the composed conv reproduces
+    the clamp extension exactly. The fix subtracts four 1D strip convs:
+
+      row 0    -= conv1d_w([x00, up_w(x[0,:]), x0W], W[0,:])   (VALID)
+      row -1   -= conv1d_w([xH0, up_w(x[-1,:]), xHW], W[2,:])  (VALID)
+      col 0    -= conv1d_h(up_h(x[:,0]), W[:,0])               (SAME-zero)
+      col -1   -= conv1d_h(up_h(x[:,-1]), W[:,2])              (SAME-zero)
+
+    Corner phantoms live in the row strips only (the col strips zero-pad),
+    so nothing is double-counted.
+    """
+    y = fused_nat(x, W)
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def row_corr(row, wslice):
+        # row: (b, w, c); strip = [corner, up_w(row), corner] length 2w+2.
+        strip = _up1d(row[:, None, :, :], axis=2)            # (b,1,2w,c)
+        strip = jnp.concatenate(
+            [row[:, None, :1, :], strip, row[:, None, -1:, :]], axis=2)
+        return lax.conv_general_dilated(
+            strip, wslice, (1, 1), ((0, 0), (0, 0)), dimension_numbers=dn)
+
+    def col_corr(col, wslice):
+        strip = _up1d(col[:, :, None, :], axis=1)            # (b,2h,1,c)
+        return lax.conv_general_dilated(
+            strip, wslice, (1, 1), ((1, 1), (0, 0)), dimension_numbers=dn)
+
+    c_top = row_corr(x[:, 0], W[0:1])
+    c_bot = row_corr(x[:, -1], W[2:3])
+    c_left = col_corr(x[:, :, 0], W[:, 0:1])
+    c_right = col_corr(x[:, :, -1], W[:, 2:3])
+    y = y.at[:, :1, :, :].add(-c_top)
+    y = y.at[:, -1:, :, :].add(-c_bot)
+    y = y.at[:, :, :1, :].add(-c_left)
+    y = y.at[:, :, -1:, :].add(-c_right)
+    return y
+
+
 def timeit_inputs(fn, inputs):
     chained = jax.jit(lambda c, x: jnp.sum(fn(x + c)) * 0)
     carry = chained(jnp.zeros((), inputs[0].dtype), inputs[0])
@@ -142,6 +206,7 @@ def main():
             ("cur  ", lambda x: conv3_same(up2_interleave(x), W)),
             ("dil  ", lambda x: conv3_same(up2_dil(x), W)),
             ("fused", lambda x: fused_nat(x, W)),
+            ("fus-x", lambda x: fused_exact(x, W)),
             ("up-cur", up2_interleave),
             ("up-dil", up2_dil),
         ]:
