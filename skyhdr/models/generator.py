@@ -93,6 +93,9 @@ class Generator(nn.Module):
         self.norm3_f = InstanceNorm()
         self.conv2_f = _deconv(cfg, d2, (h, w), name="conv2_f")
         self.norm2_f = InstanceNorm()
+        # The final 7x7 convs emit 3 channels; conv() width-folds them so
+        # the MXU's 128-lane output axis is not 3/128 occupied
+        # (skyhdr.ops.foldconv; profiled at 0.56 ms each of a 4.8 ms graph).
         self.conv1_f = conv(cfg.channels, 7, 1, name="conv1_f")
 
         # Sun decoder (generator.py:81-87).

@@ -21,6 +21,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
+from skyhdr.ops.foldconv import pick_fold, width_folded_conv
 from skyhdr.ops.resize import resize_bilinear
 
 
@@ -53,25 +54,62 @@ class InstanceNorm(nn.Module):
         return (y * gamma + beta).astype(x.dtype)
 
 
+class Conv2D(nn.Module):
+    """SAME-padded conv, MXU-aware: stride-1 convs whose output-channel
+    count understarves the 128-wide lane axis are width-folded
+    (skyhdr.ops.foldconv — exact arithmetic, identical parameter tree to
+    nn.Conv, so checkpoints and TF-transplant maps are unaffected).
+    Profiled motivation in BASELINE.md: the 7x7->3ch decoders ran at
+    3/128 lane occupancy (2.1 TF/s); co=32/64 layers waste 4x/2x.
+    Strided convs fall back to a plain lax conv with nn.Conv's SAME
+    semantics."""
+
+    features: int
+    kernel: int = 3
+    strides: int = 1
+    use_bias: bool = True
+    init_scale: str = "glorot"
+    dtype: any = None
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        kinit = (nn.initializers.glorot_uniform()
+                 if self.init_scale == "glorot"
+                 else nn.initializers.normal(stddev=0.02))
+        k = self.param("kernel", kinit,
+                       (self.kernel, self.kernel, ci, self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        # nn.Conv dtype semantics: explicit dtype casts operands; None
+        # promotes inputs and (f32) params to a common dtype.
+        ct = self.dtype or jnp.promote_types(x.dtype, k.dtype)
+        x = x.astype(ct)
+        k = k.astype(ct)
+        # Fold ONLY truly lane-starved outputs (co <= 8): measured on TPU,
+        # folding co=32/64 convs REGRESSED b32 inference 5.00 -> 5.74 ms —
+        # XLA's native schedule for mid-width convs already beats the
+        # naive N-padding model (34 TF/s at co=32), and the fold's extra
+        # FLOPs ((F+kw-1)/kw per output) then cost real time. The co=3
+        # decoders went 0.56 -> ~0.01 ms; that is the regime this targets.
+        if (self.strides == 1 and self.features <= 8
+                and pick_fold(x.shape[-2], self.features) > 1):
+            return width_folded_conv(x, k, b)
+        import jax.lax as lax
+        y = lax.conv_general_dilated(
+            x, k, (self.strides, self.strides), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y if b is None else y + b.astype(y.dtype)
+
+
 def conv(features: int, kernel: int, strides: int = 1, *, name=None,
          use_bias: bool = True, init_scale: str = "glorot", dtype=None):
     """SAME-padded conv with the reference's initializers. `dtype` is the
     computation dtype (bf16 on TPU when ModelConfig.compute_dtype says so);
-    params stay float32."""
-    if init_scale == "glorot":
-        kinit = nn.initializers.glorot_uniform()
-    else:  # GAN downsampling convs: normal(0, 0.02) (discriminator.py:12)
-        kinit = nn.initializers.normal(stddev=0.02)
-    return nn.Conv(
-        features,
-        (kernel, kernel),
-        strides=(strides, strides),
-        padding="SAME",
-        use_bias=use_bias,
-        kernel_init=kinit,
-        dtype=dtype,
-        name=name,
-    )
+    params stay float32. Returns the MXU-aware Conv2D (param-compatible
+    with nn.Conv)."""
+    return Conv2D(features, kernel, strides, use_bias=use_bias,
+                  init_scale=init_scale, dtype=dtype, name=name)
 
 
 class ResizeDeconv(nn.Module):

@@ -125,10 +125,13 @@ def resize_bilinear(img, size):
         return img
     # Fast path: integer upscaling (2x decoder stages, 2x/4x CAM and DoG
     # upsampling) — a single dilated depthwise conv on 4D inputs, phase
-    # interleave otherwise.
+    # interleave otherwise. Tiny channel counts skip the dilconv: a
+    # depthwise conv at c=1 occupies 1/128 MXU lanes at HIGHEST precision
+    # and profiled at 255 us for a 300 KB CAM upsample (2026-08-18,
+    # tools/profile_infer.py) where the elementwise interleave is ~free.
     out = img
     if H % h == 0 and W % w == 0 and H // h >= 1 and W // w >= 1 and (H > h or W > w):
-        if out.ndim == 4:
+        if out.ndim == 4 and out.shape[-1] >= 8:
             return _upsample_2d_dilconv(out, H // h, W // w)
         if H > h:
             out = _upsample_axis_int(out, out.ndim - 3, H // h)
