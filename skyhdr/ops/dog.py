@@ -72,16 +72,88 @@ def dog_pyramid(img, ksize: int = 3):
     return tuple(bands)
 
 
+@functools.lru_cache(maxsize=None)
+def _gaussian_1d(ksize: int, sigma: float) -> np.ndarray:
+    """Normalized 1-D factor of _gaussian_kernel_2d (it is separable:
+    outer(g, g) with g normalized)."""
+    r = (ksize - 1) / 2.0
+    x = np.arange(ksize, dtype=np.float64) - r
+    g = np.exp(-(x**2) / (2.0 * sigma**2))
+    return (g / g.sum()).astype(np.float64)
+
+
+@functools.lru_cache(maxsize=None)
+def _dog_axis_operators(n: int, ksize: int):
+    """Per-axis [2n x n] base operator and [8, 2n x 2n] band-blur operators.
+
+    Every step of the DoG pipeline is LINEAR along each axis, so the whole
+    upsample(clamp) -> reflect-pad -> base blur chain composes into one
+    dense matrix per axis (A0 = B_base @ U), and each band blur with its
+    reflect pad into another (S_j = D_j @ R). Boundary handling is exact by
+    construction — the matrices are built from the actual pad/blur
+    operators. Applied with einsum these run on the MXU with full 128-lane
+    occupancy, unlike the depthwise c=1..3 convs they replace (BASELINE.md:
+    every DoG blur had 3/128 lane occupancy)."""
+    from skyhdr.ops.resize import _interp_matrix
+
+    m = 2 * n
+    pad = ksize // 2
+    # Reflect-pad selection matrix [m + 2*pad, m].
+    idx = np.pad(np.arange(m), (pad, pad), mode="reflect")
+    R = np.zeros((m + 2 * pad, m), np.float64)
+    R[np.arange(m + 2 * pad), idx] = 1.0
+
+    def blur_mat(sigma):
+        g = _gaussian_1d(ksize, float(sigma))
+        D = np.zeros((m, m + 2 * pad), np.float64)
+        for t in range(ksize):
+            D[np.arange(m), np.arange(m) + t] += g[t]
+        return D @ R
+
+    U = _interp_matrix(n, m).astype(np.float64)  # 2x clamp upsample
+    A0 = (blur_mat(BASE_SIGMA) @ U).astype(np.float32)
+    S = np.stack([blur_mat(s) for s in SIGMAS_1 + SIGMAS_2]).astype(np.float32)
+    return A0, S
+
+
 def dog_l1_loss(pred, target, ksize: int = 3):
     """Sum of mean-|.| over the four DoG bands (reference train.py:316-322).
+
+    Two TPU-first transforms of the reference's 18-blur pipeline:
+      1. DoG is linear, so dog(pred) - dog(target) = dog(pred - target) —
+         one pyramid instead of two.
+      2. The upsample/reflect-pad/blur chain is per-axis linear and becomes
+         four stacked einsums against static band matrices
+         (_dog_axis_operators) — full MXU lane occupancy instead of
+         3-channel depthwise convs at 3/128 lanes. Measured: the conv form
+         cost 4.25 ms fwd / 5.6 ms fwd+bwd of a ~21 ms train step at
+         32x128 b32.
+    Boundary semantics (clamp upsample, REFLECT blur pads) are baked into
+    the matrices exactly; equality with the conv pipeline is tested to
+    roundoff (tests/test_dog_fused.py).
+    """
+    d = pred - target  # linearity: one pyramid on the difference
+    h, w = d.shape[1], d.shape[2]
+    A0h, Sh = _dog_axis_operators(h, ksize)
+    A0w, Sw = _dog_axis_operators(w, ksize)
+    y = jnp.einsum("Hh,bhwc->bHwc", jnp.asarray(A0h), d)
+    y = jnp.einsum("Ww,bHwc->bHWc", jnp.asarray(A0w), y)
+    z = jnp.einsum("jKH,bHWc->bjKWc", jnp.asarray(Sh), y)
+    z = jnp.einsum("jLW,bjKWc->bjKLc", jnp.asarray(Sw), z)
+    dog = z[:, 4:] - z[:, :4]
+    # Sum over bands of the per-band mean == 4 * mean over everything.
+    return 4.0 * jnp.mean(jnp.abs(dog))
+
+
+def dog_l1_loss_conv(pred, target, ksize: int = 3):
+    """Depthwise-conv DoG loss (the pre-2026-08-18 path): kept as the
+    parity cross-check for the matmul form and for any backend where the
+    einsum path underperforms.
 
     Fused execution: pred and target are batched together and all eight band
     blurs collapse into ONE depthwise conv with a channel multiplier (the
     per-band 3x3 kernels are static), so the whole loss is
     resize + base blur + one 8-band conv instead of 18 separate blurs.
-    DoG linearity: dog_i = (g2_i - g1_i) * base, so the difference kernels
-    could even be pre-subtracted — kept as-is for exact parity with the
-    subtract-after-blur order.
     """
     b = pred.shape[0]
     both = jnp.concatenate([pred, target], axis=0)
