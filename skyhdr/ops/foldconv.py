@@ -29,6 +29,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -52,19 +53,11 @@ def pick_fold(width: int, co: int, max_lanes: int = 128) -> int:
     return best
 
 
-def width_folded_conv(x, kernel, bias=None, fold=None, precision=None):
-    """SAME stride-1 conv via width->output-channel folding.
-
-    x: [b, h, w, ci]; kernel: [kh, kw, ci, co]; returns [b, h, w, co].
-    Exact (same arithmetic per output, reassociated only by the MXU tile
-    order). Falls back to a plain conv when no useful fold exists.
-    """
+def _folded_fwd_only(x, kernel, f, precision):
+    """The folded forward schedule (no bias)."""
     b, h, w, ci = x.shape
     kh, kw, _, co = kernel.shape
-    f = pick_fold(w, co) if fold is None else fold
     dn = ("NHWC", "HWIO", "NHWC")
-    if f <= 1 or w % f:
-        return _plain(x, kernel, bias, dn, precision)
     sel = jnp.asarray(_selector(f, kw), kernel.dtype)
     # Kf[dh, u, c, p, o] = sum_d S[u, p, d] W[dh, d, c, o]
     kf = jnp.einsum("upd,hdco->hucpo", sel, kernel)
@@ -76,7 +69,59 @@ def width_folded_conv(x, kernel, bias=None, fold=None, precision=None):
     y = lax.conv_general_dilated(
         xw, kf, (1, f), (((kh - 1) // 2, kh // 2), (0, 0)),
         dimension_numbers=dn, precision=precision)
-    y = y.reshape(b, h, w, co)
+    return y.reshape(b, h, w, co)
+
+
+def _plain_fwd_only(x, kernel, precision):
+    return lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _folded_conv_core(x, kernel, f, precision):
+    return _folded_fwd_only(x, kernel, f, precision)
+
+
+def _folded_conv_core_fwd(x, kernel, f, precision):
+    return _folded_fwd_only(x, kernel, f, precision), (x, kernel)
+
+
+def _folded_conv_core_bwd(f, precision, res, dy):
+    """Gradients via the PLAIN conv's vjp.
+
+    Autodiff of the folded forward makes XLA compute the gradient w.r.t.
+    the (kh, F+kw-1, ci, F*co) folded kernel — profiled at 2.1 TF/s /
+    2.9 ms per conv1_f at 32x128 b32 (a multiply-reduce over the padded
+    input, 30% of the whole train step for the two decoders). The plain
+    conv's kernel/input gradients are ordinary well-scheduled convs, and
+    the folded forward computes the SAME linear map, so its exact vjp is
+    the plain conv's vjp."""
+    x, kernel = res
+    _, vjp = jax.vjp(lambda xx, kk: _plain_fwd_only(xx, kk, precision),
+                     x, kernel)
+    return vjp(dy)
+
+
+_folded_conv_core.defvjp(_folded_conv_core_fwd, _folded_conv_core_bwd)
+
+
+def width_folded_conv(x, kernel, bias=None, fold=None, precision=None):
+    """SAME stride-1 conv via width->output-channel folding.
+
+    x: [b, h, w, ci]; kernel: [kh, kw, ci, co]; returns [b, h, w, co].
+    Exact (same arithmetic per output, reassociated only by the MXU tile
+    order); gradients are the plain conv's (custom_vjp — see
+    _folded_conv_core_bwd). Falls back to a plain conv when no useful fold
+    exists.
+    """
+    w = x.shape[-2]
+    co = kernel.shape[-1]
+    f = pick_fold(w, co) if fold is None else fold
+    if f <= 1 or w % f:
+        return _plain(x, kernel, bias,
+                      ("NHWC", "HWIO", "NHWC"), precision)
+    y = _folded_conv_core(x, kernel, f, precision)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

@@ -76,31 +76,32 @@ def report(ops, modules, iters, top=30, out=print):
         durs = [e["dur"] for e in modules if e["name"] == m]
         out(f"  module {m}: n={len(durs)} mean={np.mean(durs) / 1e3:.3f} ms")
 
-    by_name = collections.Counter()
+    # Group by (base name, source line): a bare base-name key would lump
+    # every unnamed `fusion.NNN` in the module under one row labeled with
+    # the FIRST instance's source — which once misattributed 5 ms of conv
+    # backward work to the degradation pipeline.
+    by_key = collections.Counter()
     by_count = collections.Counter()
     by_cat = collections.Counter()
-    samples = {}
     for e in ops:
         base = re.sub(r"[.\d]+$", "", e["name"])
-        by_name[base] += e.get("dur", 0)
-        by_count[base] += 1
-        by_cat[categorize(e["name"])] += e.get("dur", 0)
         src = (e.get("args") or {}).get("source") or \
               (e.get("args") or {}).get("tf_op") or ""
-        if base not in samples and src:
-            samples[base] = src
+        key = (base, src)
+        by_key[key] += e.get("dur", 0)
+        by_count[key] += 1
+        by_cat[categorize(e["name"])] += e.get("dur", 0)
 
     out("\n-- by category (ms/step) --")
     for cat, us in by_cat.most_common():
         out(f"  {cat:18s} {us * per_step / 1e3:8.3f}")
 
-    out(f"\n-- top {top} ops (ms/step; n = instances/step) --")
-    for name, us in by_name.most_common(top):
-        src = samples.get(name, "")
+    out(f"\n-- top {top} (op, source) groups (ms/step; n = instances/step) --")
+    for (name, src), us in by_key.most_common(top):
         if len(src) > 60:
             src = "..." + src[-57:]
-        n = by_count[name] * per_step
-        out(f"  {us * per_step / 1e3:8.4f} n={n:5.1f}  {name[:60]:60s} {src}")
+        n = by_count[(name, src)] * per_step
+        out(f"  {us * per_step / 1e3:8.4f} n={n:5.1f}  {name[:45]:45s} {src}")
 
 
 def report_instances(ops, iters, top=30, out=print):
