@@ -56,6 +56,11 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--ckpt-every", type=int, default=10,
                         help="checkpoint save cadence in epochs "
                              "(reference train.py:516)")
+    parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="train steps scanned per device dispatch "
+                             "(TrainLoop chunking; identical update "
+                             "sequence — see TrainConfig.steps_per_dispatch "
+                             "for when >1 helps)")
     return parser
 
 
@@ -72,6 +77,8 @@ def config_from_args(args) -> Config:
         train=TrainConfig(learning_rate=args.lr, epochs=args.epochs,
                           vgg_path=getattr(args, "vgg", None),
                           ckpt_every_epochs=getattr(args, "ckpt_every", 10),
+                          steps_per_dispatch=getattr(
+                              args, "steps_per_dispatch", 1),
                           seed=args.seed),
     )
 

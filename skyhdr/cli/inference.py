@@ -52,6 +52,14 @@ def main(argv=None):
                         help="cast restored weights for serving; bfloat16 "
                              "halves HBM weight streaming (the dominant "
                              "cost at 64x256 — BASELINE.md)")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="images per device dispatch. b1 serving is a "
+                             "documented per-op latency floor (~0.9 ms "
+                             "device + dispatch, BASELINE.md); batching "
+                             "amortizes it to ~0.2 ms/panorama at 32. The "
+                             "final partial group is padded to the batch "
+                             "size (one compiled graph); default 1 keeps "
+                             "compile time minimal for small folders")
     args = parser.parse_args(argv)
 
     cfg = config_from_args(args)
@@ -93,14 +101,20 @@ def main(argv=None):
 
     infer = make_inference_fn(cfg)
 
-    for path in paths:
-        ldr = _imread01(path)
-        out = infer(state.gen_vars, state.sun_vars, jnp.asarray(ldr)[None])
-        hdr = np.asarray(out["y_final_lin"][0])
-        name = os.path.splitext(os.path.basename(path))[0]
-        out_path = os.path.join(args.outdir, name + ".hdr")
-        write_hdr(out_path, hdr)
-        print("wrote", out_path)
+    bsz = max(1, args.batch)
+    for start in range(0, len(paths), bsz):
+        group = paths[start:start + bsz]
+        imgs = [_imread01(p) for p in group]
+        # Pad the tail group by repeating the last image so every dispatch
+        # reuses the ONE compiled batch shape (padded outputs are dropped).
+        batch = np.stack(imgs + [imgs[-1]] * (bsz - len(group)))
+        out = infer(state.gen_vars, state.sun_vars, jnp.asarray(batch))
+        hdrs = np.asarray(out["y_final_lin"][:len(group)])
+        for path, hdr in zip(group, hdrs):
+            name = os.path.splitext(os.path.basename(path))[0]
+            out_path = os.path.join(args.outdir, name + ".hdr")
+            write_hdr(out_path, hdr)
+            print("wrote", out_path)
 
 
 if __name__ == "__main__":

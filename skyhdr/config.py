@@ -101,6 +101,17 @@ class TrainConfig:
     tensorboard_dir: str = "tensorboard"
     vgg_path: Optional[str] = None
     seed: int = 0
+    # Steps executed per device dispatch (TrainLoop scans this many batches
+    # in ONE jitted call; the key sequence and update order are identical to
+    # the per-step path, and the epoch tail flushes per-step). Default 1:
+    # measured on the tunneled v5e (tools/exp_chunk.py, 2026-08-18), chunking
+    # does NOT win — the per-step path already pipelines dispatches, so only
+    # per-batch transfer cost is addressable, and host-stacked chunks of 8
+    # measured 39-57 ms/step vs 44-54 per-step (noise) while chunks of 16
+    # REGRESSED to 68-113 ms/step (bigger synchronous host stacks stall the
+    # feed). Kept as an option for runtimes where dispatch is the true
+    # bottleneck.
+    steps_per_dispatch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

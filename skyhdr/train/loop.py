@@ -60,6 +60,53 @@ class TrainLoop:
         self.tb_train = EventWriter(os.path.join(tb_root, "train"))
         self.tb_test = EventWriter(os.path.join(tb_root, "val"))
         self.log(f"tensorboard --logdir={tb_root}")
+        self._chunk_step = None  # built on first use (jit of scanned steps)
+
+    def _chunked(self, chunk: int):
+        """One jitted dispatch running `chunk` train steps via lax.scan.
+
+        The scan threads the SAME per-batch keys in the same order as the
+        per-step path, so training is functionally identical — only the
+        dispatch count changes. Off by default: on the tunneled v5e the
+        per-step path already pipelines dispatches and chunking measured
+        neutral-to-worse (tools/exp_chunk.py; TrainConfig.steps_per_dispatch
+        docstring has the numbers)."""
+        if self._chunk_step is None:
+            import jax.numpy as jnp
+
+            train_step = self.train_step
+
+            def run_chunk(state, batches, keys):
+                def body(s, bk):
+                    b, k = bk
+                    return train_step(s, b, k)
+                return jax.lax.scan(body, state, (batches, keys))
+
+            self._chunk_step = jax.jit(run_chunk, donate_argnums=(0,))
+        return self._chunk_step
+
+    def _flush_chunk(self, pending, metrics_bank):
+        import jax.numpy as jnp
+
+        batches, keys = zip(*pending)
+        if len(pending) == 1:
+            state, metrics = self.train_step(self.state, batches[0], keys[0])
+        elif len(pending) < int(self.cfg.train.steps_per_dispatch):
+            # Epoch-tail remainder: reuse the per-step compile instead of
+            # compiling a second scan length.
+            state = self.state
+            for b, k in pending:
+                state, metrics = self.train_step(state, b, k)
+                metrics_bank.update(metrics)
+            self.state = state
+            return
+        else:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *batches)
+            state, metrics = self._chunked(len(pending))(
+                self.state, stacked, jnp.stack(keys))
+        self.state = state
+        metrics_bank.update(metrics)
 
     def _feed(self, ds):
         """Overlap host decode/stack with device compute (the reference's
@@ -82,10 +129,16 @@ class TrainLoop:
             train_metrics.reset()
             test_metrics.reset()
 
+            chunk = max(1, int(self.cfg.train.steps_per_dispatch))
+            pending = []
             for batch in self._feed(self.train_ds):
                 key, sub = jax.random.split(key)
-                self.state, metrics = self.train_step(self.state, batch, sub)
-                train_metrics.update(metrics)
+                pending.append((batch, sub))
+                if len(pending) == chunk:
+                    self._flush_chunk(pending, train_metrics)
+                    pending = []
+            if pending:
+                self._flush_chunk(pending, train_metrics)
 
             last_eval = None
             for batch in self._feed(self.test_ds):

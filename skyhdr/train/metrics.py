@@ -41,8 +41,14 @@ class MeanMetrics:
         import numpy as np
 
         host = jax.device_get(self._vals)
-        return {k: float(np.mean(np.asarray(vs, dtype=np.float64)))
-                for k, vs in host.items() if vs}
+        # Entries may be scalars (per-step updates) or [n]-vectors (one
+        # update per scanned dispatch chunk, TrainLoop._flush_chunk); each
+        # element is one step, weighted equally.
+        return {
+            k: float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(v, dtype=np.float64)) for v in vs])))
+            for k, vs in host.items() if vs
+        }
 
     def reset(self) -> None:
         self._vals.clear()

@@ -164,6 +164,42 @@ def test_cli_inference_smoke(tmp_path):
     assert np.isfinite(hdr).all()
 
 
+def test_cli_inference_request_batching(tmp_path):
+    """--batch groups images per dispatch; the tail group is padded to the
+    compiled batch shape and padded outputs dropped.
+
+    All three inputs are the SAME image: the reference's sun_rad_estimation
+    normalizes the sun-pose PDF by the batch-GLOBAL max (reference
+    generator.py:160, tf.reduce_max with no axis), so different images in
+    one batch legitimately perturb each other's outputs — with identical
+    images the batched results must match the per-image run exactly (up to
+    RGBE quantization), which isolates the grouping/padding mechanics."""
+    PIL = pytest.importorskip("PIL.Image")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rng = np.random.default_rng(3)
+    img = (rng.uniform(0, 1, size=(H, W, 3)) * 255).astype(np.uint8)
+    for i in range(3):  # 3 images, batch 2 -> one full + one padded group
+        PIL.fromarray(img).save(str(indir / f"x{i}.jpg"))
+
+    from skyhdr.cli.inference import main as infer_main
+    from skyhdr.utils.io import read_hdr
+
+    out1 = tmp_path / "out1"
+    infer_main(["--indir", str(indir), "--outdir", str(out1),
+                "--imheight", str(H), "--imwidth", str(W),
+                "--workdir", str(tmp_path)])
+    out2 = tmp_path / "out2"
+    infer_main(["--indir", str(indir), "--outdir", str(out2),
+                "--imheight", str(H), "--imwidth", str(W),
+                "--workdir", str(tmp_path), "--batch", "2"])
+    ref = read_hdr(str(out1 / "x0.hdr"))
+    for i in range(3):
+        b = read_hdr(str(out2 / f"x{i}.hdr"))
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(ref, b, rtol=2e-2, atol=1e-4)
+
+
 def test_cli_evaluate_smoke(tmp_path):
     root = _write_dataset(str(tmp_path / "data"))
     from skyhdr.cli.evaluate import main as eval_main
@@ -223,3 +259,86 @@ def test_cli_train_sun_eval_mode_six_panels(tmp_path):
               "--workdir", str(tmp_path)])
     panel = tmp_path / "outputImg" / "SUN" / "eval" / "scene.png"
     assert panel.exists()
+
+
+def test_train_loop_chunked_dispatch_matches_per_step(tmp_path, cfg):
+    """steps_per_dispatch scans N batches in one jitted call; the key
+    sequence and update order are unchanged, so training must match the
+    per-step path (TrainLoop._flush_chunk).
+
+    Tolerances: per-step loss metrics from a scanned chunk match the eager
+    path to ~1e-6 (tested tightly in test_chunked_scan_metrics_match_eager);
+    PARAMS can only match loosely — Adam's m/sqrt(v) update is scale-free,
+    so compilation-level gradient roundoff on near-zero DoG gradients
+    produces O(learning_rate) parameter differences (measured 2.3e-4 after
+    two steps with bit-identical losses). A keys/batches/order bug would
+    produce O(1) differences; assert within a few learning-rates."""
+    import dataclasses
+
+    root = _write_dataset(str(tmp_path / "data"), n=6)
+    banks = load_banks(cfg, dorf_path=None, log=lambda *a: None)
+
+    finals = {}
+    for chunk in (1, 2):
+        cfg_c = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           steps_per_dispatch=chunk))
+        train_ds = PanoramaDataset(os.path.join(root, "train"),
+                                   imshape=(H, W, 3), batch_size=2,
+                                   shuffle=False)
+        test_ds = PanoramaDataset(os.path.join(root, "test"),
+                                  imshape=(H, W, 3), batch_size=2,
+                                  shuffle=False)
+        state = create_sun_state(cfg_c, jax.random.PRNGKey(0))
+        loop = TrainLoop(cfg_c, "SUN", state,
+                         make_sun_train_step(cfg_c, banks),
+                         make_sun_eval_step(cfg_c, banks),
+                         train_ds, test_ds,
+                         workdir=str(tmp_path / f"w{chunk}"),
+                         log=lambda *a: None)
+        finals[chunk] = loop.run(epochs=1)
+
+    assert int(finals[1].step) == int(finals[2].step) == 3
+    a = jax.tree_util.tree_leaves(finals[1].sun_vars["params"])
+    b = jax.tree_util.tree_leaves(finals[2].sun_vars["params"])
+    lr = cfg.train.learning_rate
+    for x, y in zip(a, b):
+        assert float(jnp.abs(x - y).max()) < 10 * lr
+
+
+def test_chunked_scan_metrics_match_eager(cfg):
+    """The scanned multi-step body must reproduce the eager per-step losses
+    exactly (same batches, same keys): this is the tight invariant behind
+    the chunked dispatch (params are Adam-amplified, see above)."""
+    from skyhdr.data.degradation import DegradationBanks
+    from skyhdr.utils.io import get_exposure_lists, make_synthetic_dorf
+
+    banks = DegradationBanks(
+        crfs=jnp.asarray(make_synthetic_dorf(8, 256)),
+        exposures=jnp.asarray(get_exposure_lists()[1]))
+    step = make_sun_train_step(cfg, banks)
+    rng = np.random.default_rng(0)
+    batches = [{"hdr": jnp.asarray(rng.uniform(0, 2, (2, H, W, 3))
+                                   .astype(np.float32)),
+                "elevation": jnp.asarray([5.0, 9.0])} for _ in range(2)]
+    keys = [jax.random.PRNGKey(i + 1) for i in range(2)]
+
+    s = create_sun_state(cfg, jax.random.PRNGKey(0))
+    eager = []
+    for b, k in zip(batches, keys):
+        s, m = step(s, b, k)
+        eager.append(m)
+
+    def run_chunk(state, bs, ks):
+        def body(st, bk):
+            return step(st, *bk)
+        return jax.lax.scan(body, state, (bs, ks))
+
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    _, scanned = jax.jit(run_chunk)(
+        create_sun_state(cfg, jax.random.PRNGKey(0)), stacked,
+        jnp.stack(keys))
+    for i, m in enumerate(eager):
+        for k, v in m.items():
+            np.testing.assert_allclose(float(scanned[k][i]), float(v),
+                                       rtol=1e-5, atol=1e-8)
