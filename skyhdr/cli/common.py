@@ -61,10 +61,38 @@ def add_common_flags(parser: argparse.ArgumentParser):
                              "(TrainLoop chunking; identical update "
                              "sequence — see TrainConfig.steps_per_dispatch "
                              "for when >1 helps)")
+    parser.add_argument("--compilation-cache", type=str, default=None,
+                        metavar="DIR",
+                        help="persistent XLA compilation cache directory "
+                             "(jax_compilation_cache_dir): re-invocations "
+                             "of any CLI skip recompiling graphs already "
+                             "compiled by a previous process — first jit "
+                             "of each unique graph costs 10-60 s on this "
+                             "runtime. Equivalent to setting "
+                             "JAX_COMPILATION_CACHE_DIR")
     return parser
 
 
+def apply_runtime_flags(args, log=print):
+    """Apply flags that configure the JAX runtime rather than the Config
+    tree. Must run before first device use."""
+    cache = getattr(args, "compilation_cache", None)
+    if cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        # Cache every graph: the default 1s/minimum-size thresholds skip
+        # exactly the many small jits (resize matmuls, metric reduces) whose
+        # compiles still pay the remote round-trip on this runtime.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        log(f"[skyhdr] persistent compilation cache at {cache}")
+
+
 def config_from_args(args) -> Config:
+    # Runtime (non-Config) flags first: every CLI calls config_from_args
+    # immediately after parsing and before touching devices.
+    apply_runtime_flags(args)
     return Config(
         model=ModelConfig(im_height=args.imheight, im_width=args.imwidth,
                           use_da_conv=getattr(args, "da_conv", False),
@@ -135,6 +163,51 @@ def load_banks(cfg: Config, dorf_path: str, train: bool = True,
 
     return make_banks(train_crf if train else test_crf,
                       train_t if train else test_t)
+
+
+def restore_model_vars(cfg: Config, workdir: str, *, sky: str = None,
+                       sun: str = None, seed: int = 0, log=print):
+    """(gen_vars, sun_vars) for SERVING with minimal HBM residency.
+
+    Checkpoints are restored to HOST memory through abstract templates
+    (CheckpointManager.restore_latest_host) and only the model variables
+    are device_put — the optimizer moments (2x the 3.2 GB sunpose FCs at
+    64x256) never touch the 16 GB chip. A real on-device init runs only
+    when no SKY checkpoint exists (the untrained-floor case), and its
+    optimizer slots are dropped immediately.
+
+    The reference rebuilds + restores both FULL models per image
+    (inference.py:50-79); this is the memory-safe once-only equivalent.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from skyhdr.train.checkpoints import CheckpointManager
+    from skyhdr.train.engine import create_gan_state, create_sun_state
+
+    key = jax.random.PRNGKey(seed)
+    put = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+
+    gen_vars = sun_vars = None
+    sky_dir = sky or os.path.join(workdir, cfg.train.checkpoint_dir, "SKY")
+    if os.path.isdir(sky_dir):
+        abstract = jax.eval_shape(lambda k: create_gan_state(cfg, k), key)
+        host = CheckpointManager(sky_dir).restore_latest_host(abstract)
+        if host is not None:
+            gen_vars, sun_vars = put(host.gen_vars), put(host.sun_vars)
+            log("Latest SKY checkpoint restored")
+    if gen_vars is None:
+        state = create_gan_state(cfg, key)
+        gen_vars, sun_vars = state.gen_vars, state.sun_vars
+        del state  # frees opt slots (3.2 GB at 64x256)
+    sun_dir = sun or os.path.join(workdir, cfg.train.checkpoint_dir, "SUN")
+    if os.path.isdir(sun_dir):
+        abstract = jax.eval_shape(lambda k: create_sun_state(cfg, k), key)
+        host = CheckpointManager(sun_dir).restore_latest_host(abstract)
+        if host is not None:
+            sun_vars = put(host.sun_vars)
+            log("Latest SUN checkpoint restored")
+    return gen_vars, sun_vars
 
 
 def load_vgg(path: str, log=print):

@@ -15,11 +15,11 @@ import os
 import jax
 import jax.numpy as jnp
 
-from skyhdr.cli.common import add_common_flags, config_from_args, load_banks
+from skyhdr.cli.common import (add_common_flags, config_from_args, load_banks,
+                               restore_model_vars)
 from skyhdr.data.degradation import degrade_batch
 from skyhdr.data.pipeline import PanoramaDataset
-from skyhdr.train.checkpoints import CheckpointManager
-from skyhdr.train.engine import create_gan_state, create_sun_state, make_inference_fn
+from skyhdr.train.engine import make_inference_fn
 from skyhdr.train.evaluation import evaluate_batch
 
 
@@ -45,27 +45,14 @@ def main(argv=None):
                          batch_size=cfg.data.batch_size, shuffle=False)
     banks = load_banks(cfg, args.dorf, train=False)
 
-    state = create_gan_state(cfg, jax.random.PRNGKey(args.seed))
-    sky_dir = args.sky or os.path.join(args.workdir,
-                                       cfg.train.checkpoint_dir, "SKY")
-    if os.path.isdir(sky_dir):
-        restored = CheckpointManager(sky_dir).restore_latest(state)
-        if restored is not None:
-            state = restored
-    sun_dir = args.sun or os.path.join(args.workdir,
-                                       cfg.train.checkpoint_dir, "SUN")
-    if os.path.isdir(sun_dir):
-        sun_state = create_sun_state(cfg, jax.random.PRNGKey(args.seed))
-        restored = CheckpointManager(sun_dir).restore_latest(sun_state)
-        if restored is not None:
-            state = state.replace(sun_vars=restored.sun_vars)
+    gen_vars, sun_vars = restore_model_vars(cfg, args.workdir, sky=args.sky,
+                                            sun=args.sun, seed=args.seed)
 
     if args.weights_dtype != "float32":
         from skyhdr.utils.params import cast_model_vars
 
-        state = state.replace(
-            gen_vars=cast_model_vars(state.gen_vars, args.weights_dtype),
-            sun_vars=cast_model_vars(state.sun_vars, args.weights_dtype))
+        gen_vars = cast_model_vars(gen_vars, args.weights_dtype)
+        sun_vars = cast_model_vars(sun_vars, args.weights_dtype)
 
     infer = make_inference_fn(cfg)
 
@@ -87,7 +74,7 @@ def main(argv=None):
             break
         key, sub = jax.random.split(key)
         metrics, (ldr, pred, hdr_t) = eval_one(
-            state.gen_vars, state.sun_vars, sub, jnp.asarray(batch["hdr"]))
+            gen_vars, sun_vars, sub, jnp.asarray(batch["hdr"]))
         for k, v in metrics.items():
             sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
         count += batch["hdr"].shape[0]

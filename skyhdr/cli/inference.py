@@ -16,13 +16,11 @@ import glob
 import os
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
-from skyhdr.cli.common import add_common_flags, config_from_args
-from skyhdr.train.checkpoints import CheckpointManager
-from skyhdr.train.engine import (create_gan_state, create_sun_state,
-                                 make_inference_fn)
+from skyhdr.cli.common import (add_common_flags, config_from_args,
+                               restore_model_vars)
+from skyhdr.train.engine import make_inference_fn
 from skyhdr.utils.io import write_hdr
 
 
@@ -75,29 +73,14 @@ def main(argv=None):
             f"error: no .jpg/.jpeg/.png images found under {args.indir!r}")
     os.makedirs(args.outdir, exist_ok=True)
 
-    state = create_gan_state(cfg, jax.random.PRNGKey(args.seed))
-    sky_dir = args.sky or os.path.join(args.workdir,
-                                       cfg.train.checkpoint_dir, "SKY")
-    if os.path.isdir(sky_dir):
-        restored = CheckpointManager(sky_dir).restore_latest(state)
-        if restored is not None:
-            state = restored
-            print("Latest SKY checkpoint restored")
-    sun_dir = args.sun or os.path.join(args.workdir,
-                                       cfg.train.checkpoint_dir, "SUN")
-    if os.path.isdir(sun_dir):
-        sun_state = create_sun_state(cfg, jax.random.PRNGKey(args.seed))
-        restored = CheckpointManager(sun_dir).restore_latest(sun_state)
-        if restored is not None:
-            state = state.replace(sun_vars=restored.sun_vars)
-            print("Latest SUN checkpoint restored")
+    gen_vars, sun_vars = restore_model_vars(cfg, args.workdir, sky=args.sky,
+                                            sun=args.sun, seed=args.seed)
 
     if args.weights_dtype != "float32":
         from skyhdr.utils.params import cast_model_vars
 
-        state = state.replace(
-            gen_vars=cast_model_vars(state.gen_vars, args.weights_dtype),
-            sun_vars=cast_model_vars(state.sun_vars, args.weights_dtype))
+        gen_vars = cast_model_vars(gen_vars, args.weights_dtype)
+        sun_vars = cast_model_vars(sun_vars, args.weights_dtype)
 
     infer = make_inference_fn(cfg)
 
@@ -108,7 +91,7 @@ def main(argv=None):
         # Pad the tail group by repeating the last image so every dispatch
         # reuses the ONE compiled batch shape (padded outputs are dropped).
         batch = np.stack(imgs + [imgs[-1]] * (bsz - len(group)))
-        out = infer(state.gen_vars, state.sun_vars, jnp.asarray(batch))
+        out = infer(gen_vars, sun_vars, jnp.asarray(batch))
         hdrs = np.asarray(out["y_final_lin"][:len(group)])
         for path, hdr in zip(group, hdrs):
             name = os.path.splitext(os.path.basename(path))[0]

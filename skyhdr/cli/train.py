@@ -40,29 +40,37 @@ def main(argv=None):
                            os.path.join(cfg.data.dataset_dir, "test"),
                            shuffle=False)
 
-    state = create_gan_state(cfg, jax.random.PRNGKey(args.seed))
-
-    # Restore a pretrained SUN checkpoint into the GAN state (the
-    # cross-stage weight handoff, reference train.py:223-230).
-    sun_dir = args.sun or os.path.join(args.workdir,
-                                       cfg.train.checkpoint_dir, "SUN")
-    if os.path.isdir(sun_dir):
-        from skyhdr.train.checkpoints import CheckpointManager
-        from skyhdr.train.engine import create_sun_state
-
-        sun_template = create_sun_state(cfg, jax.random.PRNGKey(args.seed))
-        mgr = CheckpointManager(sun_dir, cfg.train.ckpt_max_to_keep)
-        restored = mgr.restore_latest(sun_template)
-        if restored is not None:
-            state = state.replace(sun_vars=restored.sun_vars)
-            print("Pretrained SUN checkpoint restored for fine-tuning")
-
     train_step = make_gan_train_step(cfg, banks_train, vgg)
     eval_step = make_gan_eval_step(cfg, load_banks(cfg, args.dorf, train=False),
                                    vgg)
 
-    loop = TrainLoop(cfg, "SKY", state, train_step, eval_step,
+    loop = TrainLoop(cfg, "SKY",
+                     lambda: create_gan_state(cfg, jax.random.PRNGKey(args.seed)),
+                     train_step, eval_step,
                      train_ds, test_ds, workdir=args.workdir)
+
+    # Cross-stage SUN weight handoff (reference train.py:223-230) — only on
+    # a FRESH start (a SKY resume already carries fine-tuned sun_vars). The
+    # SUN checkpoint is restored to HOST memory through an abstract template
+    # and only sun_vars are device_put: the old concrete-template path held
+    # GanState (6.5 GB) + SunState (9.7 GB at 64x256) on a 16 GB chip and
+    # died with an async RESOURCE_EXHAUSTED.
+    sun_dir = args.sun or os.path.join(args.workdir,
+                                       cfg.train.checkpoint_dir, "SUN")
+    if not loop.resumed and os.path.isdir(sun_dir):
+        import jax.numpy as jnp
+
+        from skyhdr.train.checkpoints import CheckpointManager
+        from skyhdr.train.engine import create_sun_state
+
+        abstract = jax.eval_shape(lambda k: create_sun_state(cfg, k),
+                                  jax.random.PRNGKey(args.seed))
+        mgr = CheckpointManager(sun_dir, cfg.train.ckpt_max_to_keep)
+        host = mgr.restore_latest_host(abstract)
+        if host is not None:
+            loop.state = loop.state.replace(sun_vars=jax.tree_util.tree_map(
+                jnp.asarray, host.sun_vars))
+            print("Pretrained SUN checkpoint restored for fine-tuning")
     loop.run(epochs=cfg.train.epochs, rng_seed=args.seed)
 
 

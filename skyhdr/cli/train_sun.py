@@ -44,7 +44,9 @@ def main(argv=None):
         test_ds = make_dataset(args, cfg,
                                os.path.join(cfg.data.dataset_dir, "test"),
                                shuffle=False)
-        state = create_sun_state(cfg, jax.random.PRNGKey(args.seed))
+        # Factory, not a concrete state: TrainLoop owns creation so resume
+        # never holds two 9.7 GB SunStates (64x256) in HBM (loop.py).
+        make_state = lambda: create_sun_state(cfg, jax.random.PRNGKey(args.seed))
         train_step = make_sun_train_step(cfg, banks)
         eval_step = make_sun_eval_step(cfg, load_banks(cfg, args.dorf,
                                                        train=False))
@@ -79,7 +81,7 @@ def main(argv=None):
                         write_hdr(os.path.join(gt_dir, f"{i}_gt.hdr"),
                                   hdrs[i])
 
-        loop = TrainLoop(cfg, "SUN", state, train_step, eval_step,
+        loop = TrainLoop(cfg, "SUN", make_state, train_step, eval_step,
                          train_ds, test_ds, workdir=args.workdir,
                          epoch_hook=epoch_hook)
         loop.run(epochs=cfg.train.epochs, rng_seed=args.seed)
@@ -93,14 +95,19 @@ def main(argv=None):
     from skyhdr.utils.io import read_hdr
 
     assert args.inference_img_dir, "--inference_img_dir required with --train false"
-    state = create_sun_state(cfg, jax.random.PRNGKey(args.seed))
+    # Serving path: host-restore through an abstract template and device_put
+    # only sun_vars — the Adam moments (6.4 GB at 64x256) stay off-chip.
+    key0 = jax.random.PRNGKey(args.seed)
     mgr = CheckpointManager(os.path.join(args.workdir,
                                          cfg.train.checkpoint_dir, "SUN"),
                             cfg.train.ckpt_max_to_keep)
-    restored = mgr.restore_latest(state)
-    if restored is not None:
-        state = restored
+    abstract = jax.eval_shape(lambda k: create_sun_state(cfg, k), key0)
+    host = mgr.restore_latest_host(abstract)
+    if host is not None:
+        sun_vars = jax.tree_util.tree_map(jnp.asarray, host.sun_vars)
         print("Latest SUN checkpoint restored")
+    else:
+        sun_vars = create_sun_state(cfg, key0).sun_vars
 
     sun = SunPoseNet(cfg.model)
     sun_apply = jax.jit(lambda v, x: sunpose_with_cams(
@@ -116,7 +123,7 @@ def main(argv=None):
         hdr = 0.5 * hdr / (hdr.mean() + 1e-6)
         key, sub = jax.random.split(key)
         _, ldr = degrade_batch(sub, jnp.asarray(hdr)[None], banks)
-        sm, cams = sun_apply(state.sun_vars, ldr)
+        sm, cams = sun_apply(sun_vars, ldr)
         pred = np.asarray(sm).reshape(h, w)
         # CAM-gated prediction (reference train_sun.py:445-447):
         # sum_pred = cam1 * resize(cam2) * pred, max-normalized.

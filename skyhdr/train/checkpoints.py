@@ -25,6 +25,7 @@ class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5):
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        self._directory = directory
         self._mgr = ocp.CheckpointManager(
             directory,
             options=ocp.CheckpointManagerOptions(
@@ -48,6 +49,39 @@ class CheckpointManager:
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                           template)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def restore_latest_host(self, template: T) -> Optional[T]:
+        """Restore the newest checkpoint to HOST memory (numpy leaves).
+
+        Restoring a big state through a concrete device template double-
+        (or with a second model's template, triple-) books HBM: at 64x256
+        the sunpose FCs make SunState 9.7 GB and GanState 6.5 GB, so the
+        cross-stage weight handoff held ~16 GB on a 16 GB chip and died
+        with an async RESOURCE_EXHAUSTED. Callers pass an ABSTRACT template
+        (jax.eval_shape of the state factory — zero device bytes), get
+        numpy leaves back (host RAM is 125 GB here), and device_put only
+        the sub-trees they actually serve."""
+        import numpy as np
+
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                          template)
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), abstract)
+        # A standalone PyTreeCheckpointer over the step's "default" item:
+        # the manager binds one handler type per item name, so a manager
+        # that has Standard-saved cannot also PyTree-restore (and vice
+        # versa). StandardCheckpointHandler's on-disk format IS the PyTree
+        # format, so reading it directly is exact.
+        path = os.path.join(self._directory, str(step), "default")
+        ckptr = ocp.PyTreeCheckpointer()
+        try:
+            return ckptr.restore(path, args=ocp.args.PyTreeRestore(
+                item=abstract, restore_args=restore_args))
+        finally:
+            ckptr.close()
 
     def close(self):
         self._mgr.close()

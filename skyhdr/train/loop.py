@@ -31,7 +31,6 @@ class TrainLoop:
                  epoch_hook: Optional[Callable] = None):
         self.cfg = cfg
         self.name = name
-        self.state = state
         self.train_step = train_step
         self.eval_step = eval_step
         self.train_ds = train_ds
@@ -48,11 +47,36 @@ class TrainLoop:
 
         ckpt_dir = os.path.join(workdir, cfg.train.checkpoint_dir, name)
         self.ckpt = CheckpointManager(ckpt_dir, cfg.train.ckpt_max_to_keep)
-        restored = self.ckpt.restore_latest(self.state)
-        if restored is not None:
-            self.state = restored
-            self.log(f"Latest {name} checkpoint restored "
-                     f"(epoch {int(self.state.epoch)})")
+        self.resumed = False
+        if callable(state):
+            # state is a zero-arg FACTORY: the loop owns state creation, so
+            # HBM never holds two copies. Resume path: abstract template
+            # (jax.eval_shape — zero device bytes) -> host restore ->
+            # device_put once. Fresh path: call the factory. At 64x256 the
+            # SunState is 9.7 GB; the concrete-template restore held 2x
+            # that transiently (checkpoints.restore_latest_host docstring).
+            # NOTE: eval_shape EXECUTES the factory (abstractly) — keep
+            # factories side-effect free; post-init handoffs (cli/train.py's
+            # SUN restore) belong behind `loop.resumed`.
+            import jax.numpy as jnp
+
+            abstract = jax.eval_shape(state)
+            host = self.ckpt.restore_latest_host(abstract)
+            if host is not None:
+                self.state = jax.tree_util.tree_map(jnp.asarray, host)
+                self.resumed = True
+                self.log(f"Latest {name} checkpoint restored "
+                         f"(epoch {int(self.state.epoch)})")
+            else:
+                self.state = state()
+        else:
+            self.state = state
+            restored = self.ckpt.restore_latest(self.state)
+            if restored is not None:
+                self.state = restored
+                self.resumed = True
+                self.log(f"Latest {name} checkpoint restored "
+                         f"(epoch {int(self.state.epoch)})")
 
         tb_root = create_new_dir(
             os.path.join(workdir, cfg.train.tensorboard_dir, name), timestamp()

@@ -141,6 +141,60 @@ def test_train_loop_runs_and_resumes(tmp_path, cfg):
     assert int(resumed.step) == int(final.step)
 
 
+def test_train_loop_factory_resume_host_restore(tmp_path, cfg):
+    """TrainLoop with a state FACTORY (the memory-lean CLI path: at 64x256
+    the concrete-template resume held 2x a 9.7 GB SunState in HBM): fresh
+    start calls the factory; resume host-restores WITHOUT calling it and
+    yields the exact saved state."""
+    root = _write_dataset(str(tmp_path / "data"))
+    train_ds = PanoramaDataset(os.path.join(root, "train"), imshape=(H, W, 3),
+                               batch_size=2, shuffle=True)
+    test_ds = PanoramaDataset(os.path.join(root, "test"), imshape=(H, W, 3),
+                              batch_size=2, shuffle=False)
+    banks = load_banks(cfg, dorf_path=None, log=lambda *a: None)
+
+    loop = TrainLoop(cfg, "SUN",
+                     lambda: create_sun_state(cfg, jax.random.PRNGKey(0)),
+                     make_sun_train_step(cfg, banks),
+                     make_sun_eval_step(cfg, banks),
+                     train_ds, test_ds, workdir=str(tmp_path),
+                     log=lambda *a: None)
+    final = loop.run(epochs=1)
+
+    # A factory with a DIFFERENT seed: if resume used it concretely instead
+    # of restoring, the params below could not match the saved state. (The
+    # factory is still traced abstractly via jax.eval_shape — that allocates
+    # nothing on device.)
+    loop2 = TrainLoop(cfg, "SUN",
+                      lambda: create_sun_state(cfg, jax.random.PRNGKey(3)),
+                      make_sun_train_step(cfg, banks),
+                      make_sun_eval_step(cfg, banks),
+                      train_ds, test_ds, workdir=str(tmp_path),
+                      log=lambda *a: None)
+    assert int(loop2.state.epoch) == 1
+    for x, y in zip(jax.tree_util.tree_leaves(final.sun_vars),
+                    jax.tree_util.tree_leaves(loop2.state.sun_vars)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_restore_latest_host_matches_device_restore(tmp_path, cfg):
+    """restore_latest_host returns numpy leaves bit-equal to the device
+    restore (the serving CLIs device_put only the sub-trees they need)."""
+    state = create_sun_state(cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    assert mgr.restore_latest_host(state) is None
+    mgr.save(1, state)
+    abstract = jax.eval_shape(lambda: create_sun_state(cfg,
+                                                       jax.random.PRNGKey(7)))
+    host = mgr.restore_latest_host(abstract)
+    assert all(isinstance(x, np.ndarray)
+               for x in jax.tree_util.tree_leaves(host))
+    for x, y in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(host)):
+        np.testing.assert_array_equal(np.asarray(x), y)
+    mgr.close()
+
+
 def test_cli_inference_smoke(tmp_path):
     PIL = pytest.importorskip("PIL.Image")
     indir = tmp_path / "in"
@@ -198,6 +252,33 @@ def test_cli_inference_request_batching(tmp_path):
         b = read_hdr(str(out2 / f"x{i}.hdr"))
         assert np.isfinite(b).all()
         np.testing.assert_allclose(ref, b, rtol=2e-2, atol=1e-4)
+
+
+def test_cli_compilation_cache_flag(tmp_path):
+    """--compilation-cache DIR turns on jax's persistent XLA cache so a
+    later process skips recompiling (10-60 s per unique graph on the
+    tunneled runtime). Verified by cache entries appearing after a CLI
+    run."""
+    PIL = pytest.importorskip("PIL.Image")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    img = (np.random.default_rng(0).uniform(0, 1, (H, W, 3)) * 255
+           ).astype(np.uint8)
+    PIL.fromarray(img).save(str(indir / "x.jpg"))
+
+    from skyhdr.cli.inference import main as infer_main
+
+    cache = tmp_path / "xla_cache"
+    try:
+        infer_main(["--indir", str(indir), "--outdir", str(tmp_path / "out"),
+                    "--imheight", str(H), "--imwidth", str(W),
+                    "--workdir", str(tmp_path),
+                    "--compilation-cache", str(cache)])
+        assert cache.is_dir() and any(cache.iterdir())
+    finally:
+        # The cache dir is process-global jax config; detach it so later
+        # tests don't keep writing into this (removed) tmp dir.
+        jax.config.update("jax_compilation_cache_dir", None)
 
 
 def test_cli_evaluate_smoke(tmp_path):
