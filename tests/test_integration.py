@@ -281,6 +281,39 @@ def test_cli_compilation_cache_flag(tmp_path):
         jax.config.update("jax_compilation_cache_dir", None)
 
 
+def test_restore_model_vars_priority(tmp_path, cfg):
+    """cli.common.restore_model_vars (the serving restore path): SKY
+    provides gen+sun, a SUN checkpoint overrides sun_vars, absence of both
+    falls back to a fresh init — with no optimizer moments ever restored."""
+    from skyhdr.cli.common import restore_model_vars
+    from skyhdr.train.engine import create_gan_state
+
+    gan = create_gan_state(cfg, jax.random.PRNGKey(1))
+    sun = create_sun_state(cfg, jax.random.PRNGKey(2))
+    ck = os.path.join(str(tmp_path), cfg.train.checkpoint_dir)
+    CheckpointManager(os.path.join(ck, "SKY")).save(3, gan)
+    CheckpointManager(os.path.join(ck, "SUN")).save(5, sun)
+
+    gen_vars, sun_vars = restore_model_vars(cfg, str(tmp_path),
+                                            log=lambda *a: None)
+    for x, y in zip(jax.tree_util.tree_leaves(gan.gen_vars),
+                    jax.tree_util.tree_leaves(gen_vars)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # SUN checkpoint wins over the SKY state's sun_vars.
+    for x, y in zip(jax.tree_util.tree_leaves(sun.sun_vars),
+                    jax.tree_util.tree_leaves(sun_vars)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # No checkpoints at all: fresh init, deterministic in the seed.
+    g0, s0 = restore_model_vars(cfg, str(tmp_path / "empty"), seed=4,
+                                log=lambda *a: None)
+    g1, s1 = restore_model_vars(cfg, str(tmp_path / "empty"), seed=4,
+                                log=lambda *a: None)
+    for x, y in zip(jax.tree_util.tree_leaves((g0, s0)),
+                    jax.tree_util.tree_leaves((g1, s1))):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_cli_evaluate_smoke(tmp_path):
     root = _write_dataset(str(tmp_path / "data"))
     from skyhdr.cli.evaluate import main as eval_main
