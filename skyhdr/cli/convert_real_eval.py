@@ -64,6 +64,11 @@ def main(argv=None):
             "hdr": np.ascontiguousarray(hdr).tobytes(),
             "height": float(hdr.shape[0]),
             "width": float(hdr.shape[1]),
+            # The LDR crop's own dims (the GT and input cameras need not
+            # share a resolution); consumers before this field assume
+            # ldr.shape == hdr.shape.
+            "ldr_height": float(ldr.shape[0]),
+            "ldr_width": float(ldr.shape[1]),
         }])
         print("wrote", out_path)
 

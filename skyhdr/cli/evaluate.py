@@ -23,11 +23,57 @@ from skyhdr.train.engine import make_inference_fn
 from skyhdr.train.evaluation import evaluate_batch
 
 
+def _iter_real_batches(real_dir: str, imshape, batch_size: int):
+    """Batches from cli.convert_real_eval records: real {ldr, hdr} pairs,
+    host-resized to the model resolution. ldr -> RGB [0,1]; hdr -> RGB with
+    the training-time DrTMO mean normalization (data/pipeline.py
+    prepare_sample) so PSNR is computed in the scale the model was trained
+    in (si-RMSE is scale-free either way)."""
+    import numpy as np
+
+    from skyhdr.data.records import read_tfrecord_examples
+
+    h, w, _ = imshape
+
+    def resize(img):
+        import cv2
+
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+
+    def scalar(ex, key, default_key=None):
+        v = ex.get(key) if default_key is None else ex.get(key, ex[default_key])
+        return int(np.asarray(v).reshape(-1)[0])
+
+    ldrs, hdrs = [], []
+    for ex in read_tfrecord_examples(real_dir):
+        hh, hw = scalar(ex, "height"), scalar(ex, "width")
+        lh = scalar(ex, "ldr_height", "height")
+        lw = scalar(ex, "ldr_width", "width")
+        hdr = np.frombuffer(ex["hdr"], np.float32).reshape(hh, hw, 3)
+        ldr = np.frombuffer(ex["ldr"], np.uint8).reshape(lh, lw, 3)
+        hdr = resize(hdr[..., ::-1])  # stored BGR (cv2 order)
+        ldr = resize(ldr[..., ::-1].astype(np.float32) / 255.0)
+        hdr = 0.5 * hdr / (hdr.mean() + 1e-6)
+        ldrs.append(ldr)
+        hdrs.append(hdr)
+        if len(ldrs) == batch_size:
+            yield np.stack(ldrs), np.stack(hdrs)
+            ldrs, hdrs = [], []
+    if ldrs:
+        yield np.stack(ldrs), np.stack(hdrs)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="evaluate on a test set")
     add_common_flags(parser)
     parser.add_argument("--sky", type=str, default=None)
     parser.add_argument("--sun", type=str, default=None)
+    parser.add_argument("--real-dir", type=str, default=None,
+                        help="evaluate on REAL captured pairs from "
+                             "cli.convert_real_eval ({ldr, hdr} records) "
+                             "instead of degrading a synthetic test split: "
+                             "the model predicts from the real LDR and is "
+                             "scored against the real HDR GT")
     parser.add_argument("--max-batches", type=int, default=0)
     parser.add_argument("--render-dir", type=str, default=None,
                         help="also write tone-mapped PNG previews of "
@@ -40,10 +86,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = config_from_args(args)
-    test_dir = args.dir or os.path.join(cfg.data.dataset_dir, "test")
-    ds = PanoramaDataset(test_dir, imshape=cfg.model.imshape,
-                         batch_size=cfg.data.batch_size, shuffle=False)
-    banks = load_banks(cfg, args.dorf, train=False)
+    if args.real_dir:
+        ds = banks = None
+    else:
+        test_dir = args.dir or os.path.join(cfg.data.dataset_dir, "test")
+        ds = PanoramaDataset(test_dir, imshape=cfg.model.imshape,
+                             batch_size=cfg.data.batch_size, shuffle=False)
+        banks = load_banks(cfg, args.dorf, train=False)
 
     gen_vars, sun_vars = restore_model_vars(cfg, args.workdir, sky=args.sky,
                                             sun=args.sun, seed=args.seed)
@@ -67,17 +116,35 @@ def main(argv=None):
         pred = infer(gen_vars, sun_vars, ldr)["y_final_lin"]
         return evaluate_batch(pred, hdr_t), (ldr, pred, hdr_t)
 
+    @jax.jit
+    def eval_real(gen_vars, sun_vars, ldr, hdr_t):
+        pred = infer(gen_vars, sun_vars, ldr)["y_final_lin"]
+        return evaluate_batch(pred, hdr_t), pred
+
+    def batches():
+        if args.real_dir:
+            for ldr, hdr_t in _iter_real_batches(
+                    args.real_dir, cfg.model.imshape, cfg.data.batch_size):
+                yield ("real", ldr, hdr_t)
+        else:
+            for batch in ds:
+                yield ("synth", batch["hdr"], None)
+
     key = jax.random.PRNGKey(args.seed)
     sums, count = {}, 0
-    for i, batch in enumerate(ds):
+    for i, (kind, a, b) in enumerate(batches()):
         if args.max_batches and i >= args.max_batches:
             break
-        key, sub = jax.random.split(key)
-        metrics, (ldr, pred, hdr_t) = eval_one(
-            gen_vars, sun_vars, sub, jnp.asarray(batch["hdr"]))
+        if kind == "real":
+            ldr, hdr_t = jnp.asarray(a), jnp.asarray(b)
+            metrics, pred = eval_real(gen_vars, sun_vars, ldr, hdr_t)
+        else:
+            key, sub = jax.random.split(key)
+            metrics, (ldr, pred, hdr_t) = eval_one(
+                gen_vars, sun_vars, sub, jnp.asarray(a))
         for k, v in metrics.items():
             sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
-        count += batch["hdr"].shape[0]
+        count += a.shape[0]
         if args.render_dir:
             import numpy as np
 

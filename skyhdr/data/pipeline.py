@@ -18,15 +18,57 @@ compute (the reference's prefetch(AUTOTUNE) equivalent).
 from __future__ import annotations
 
 import glob
+import itertools
 import os
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
 from skyhdr.data.records import iter_tfrecord, read_tfrecord_examples
 from skyhdr.data.records import decode_example
+
+
+def default_decode_workers() -> int:
+    """Host decode parallelism (reference train.py:125-131 reads and parses
+    at AUTOTUNE parallelism; this is the equivalent knob)."""
+    return min(8, os.cpu_count() or 1)
+
+
+def _decode_file(path: str, imshape) -> List[Tuple[np.ndarray, float]]:
+    return [prepare_sample(decode_example(r), imshape)
+            for r in iter_tfrecord(path)]
+
+
+def _iter_samples(files: List[str], imshape,
+                  workers: int) -> Iterator[Tuple[np.ndarray, float]]:
+    """Decode files on a thread pool, yielding samples in EXACT `files`
+    order (a bounded in-flight window keeps memory constant).
+
+    File-granularity parallelism is record-granularity here — the reference
+    dataset layout is one Example per .tfrecord (makeTFRecord.py:58-62) —
+    and it parallelizes the whole per-record cost: file read, gzip inflate
+    and the numpy decode all release the GIL; only the small pure-Python
+    protobuf walk serializes. Order preservation keeps every seeded shuffle
+    byte-identical to the serial path."""
+    if workers <= 1 or len(files) <= 1:
+        for p in files:
+            yield from _decode_file(p, imshape)
+        return
+    with ThreadPoolExecutor(workers) as ex:
+        files_it = iter(files)
+        pending = deque(
+            ex.submit(_decode_file, p, imshape)
+            for p in itertools.islice(files_it, workers * 2))
+        while pending:
+            samples = pending.popleft().result()
+            nxt = next(files_it, None)
+            if nxt is not None:
+                pending.append(ex.submit(_decode_file, nxt, imshape))
+            yield from samples
 
 
 def prepare_sample(example: Dict, imshape: Tuple[int, int, int]):
@@ -54,7 +96,7 @@ class PanoramaDataset:
 
     def __init__(self, tfrecord_dir: str, imshape=(32, 128, 3), batch_size: int = 32,
                  shuffle: bool = True, seed: int = 0, drop_remainder: bool = True,
-                 cache: bool = True):
+                 cache: bool = True, decode_workers: Optional[int] = None):
         self.dir = tfrecord_dir
         self.imshape = tuple(imshape)
         self.batch_size = batch_size
@@ -62,20 +104,25 @@ class PanoramaDataset:
         self.drop_remainder = drop_remainder
         self._rng = np.random.default_rng(seed)
         self._cache = cache
+        self.decode_workers = (default_decode_workers()
+                               if decode_workers is None else decode_workers)
         self._hdr: Optional[np.ndarray] = None
         self._elev: Optional[np.ndarray] = None
         if cache:
             self._load_all()
 
+    def _samples(self) -> Iterator[Tuple[np.ndarray, float]]:
+        files = _resolve_files(self.dir)
+        if not files:
+            raise FileNotFoundError(f"no .tfrecord files under {self.dir}")
+        return _iter_samples(files, self.imshape, self.decode_workers)
+
     def _load_all(self):
         hdrs: List[np.ndarray] = []
         elevs: List[float] = []
-        for ex in read_tfrecord_examples(self.dir):
-            hdr, elev = prepare_sample(ex, self.imshape)
+        for hdr, elev in self._samples():
             hdrs.append(hdr)
             elevs.append(elev)
-        if not hdrs:
-            raise FileNotFoundError(f"no .tfrecord files under {self.dir}")
         self._hdr = np.stack(hdrs)
         self._elev = np.asarray(elevs, np.float32)
 
@@ -97,8 +144,7 @@ class PanoramaDataset:
                 yield {"hdr": self._hdr[idx], "elevation": self._elev[idx]}
         else:
             batch_h, batch_e = [], []
-            for ex in read_tfrecord_examples(self.dir):
-                hdr, elev = prepare_sample(ex, self.imshape)
+            for hdr, elev in self._samples():
                 batch_h.append(hdr)
                 batch_e.append(elev)
                 if len(batch_h) == self.batch_size:
@@ -142,12 +188,15 @@ class StreamingPanoramaDataset:
                  shuffle_buffer: int = 10000, seed: int = 0,
                  drop_remainder: bool = True,
                  process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 decode_workers: Optional[int] = None):
         self.imshape = tuple(imshape)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.shuffle_buffer = max(1, shuffle_buffer)
         self.drop_remainder = drop_remainder
+        self.decode_workers = (default_decode_workers()
+                               if decode_workers is None else decode_workers)
         self._rng = np.random.default_rng(seed)
         if process_index is None or process_count is None:
             import jax
@@ -177,9 +226,9 @@ class StreamingPanoramaDataset:
         files = list(self.files)
         if self.shuffle:
             rng.shuffle(files)
-        for path in files:
-            for record in iter_tfrecord(path):
-                yield prepare_sample(decode_example(record), self.imshape)
+        # Parallel ordered decode: same sample order as the serial loop, so
+        # the seeded windowed shuffle below stays byte-identical.
+        yield from _iter_samples(files, self.imshape, self.decode_workers)
 
     def _shuffled_stream(self, rng) -> Iterator[Tuple[np.ndarray, float]]:
         if not self.shuffle:

@@ -1,0 +1,87 @@
+"""End-to-end test of the real-outdoor eval converter + the evaluate CLI's
+--real-dir consumer (reference convert_to_tf_record.py:30-61; VERDICT r3
+item 6 — this was the last untested CLI)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from skyhdr.data.records import read_tfrecord_examples
+
+
+def _synth_pairs(root, rng, n=3, h=24, w=48):
+    """n real-capture-shaped pairs: .hdr GT + .jpg LDR (different sizes, to
+    exercise the independent ldr_height/ldr_width fields)."""
+    from PIL import Image
+
+    from skyhdr.utils.io import write_hdr
+
+    gt_dir = os.path.join(root, "outdoor_real_gt")
+    in_dir = os.path.join(root, "outdoor_real_input")
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(in_dir, exist_ok=True)
+    for i in range(n):
+        hdr = (rng.uniform(0, 1, size=(h, w, 3)) ** 2 * 20).astype(np.float32)
+        write_hdr(os.path.join(gt_dir, f"scene{i}.hdr"), hdr)
+        ldr = (rng.uniform(0, 1, size=(h // 2, w // 2, 3)) * 255).astype(
+            np.uint8)
+        Image.fromarray(ldr).save(os.path.join(in_dir, f"scene{i}.jpg"),
+                                  quality=92)
+    return gt_dir, in_dir
+
+
+def test_converter_record_layout(tmp_path, rng):
+    from skyhdr.cli.convert_real_eval import main as convert
+
+    gt_dir, in_dir = _synth_pairs(str(tmp_path), rng, n=3, h=24, w=48)
+    out = str(tmp_path / "records")
+    convert(["--gt-dir", gt_dir, "--input-dir", in_dir, "--out", out,
+             "--gt-ext", "hdr"])
+
+    examples = list(read_tfrecord_examples(out))
+    assert len(examples) == 3
+    for ex in examples:
+        hh = int(np.asarray(ex["height"]).reshape(-1)[0])
+        hw = int(np.asarray(ex["width"]).reshape(-1)[0])
+        lh = int(np.asarray(ex["ldr_height"]).reshape(-1)[0])
+        lw = int(np.asarray(ex["ldr_width"]).reshape(-1)[0])
+        # Top-half sky-dome crop (convert_to_tf_record.py:49-50).
+        assert (hh, hw) == (12, 48)
+        assert (lh, lw) == (6, 24)
+        hdr = np.frombuffer(ex["hdr"], np.float32).reshape(hh, hw, 3)
+        ldr = np.frombuffer(ex["ldr"], np.uint8).reshape(lh, lw, 3)
+        assert np.isfinite(hdr).all() and hdr.max() > 1.0
+        assert ldr.dtype == np.uint8
+
+
+def test_converter_count_mismatch_fails(tmp_path, rng):
+    from skyhdr.cli.convert_real_eval import main as convert
+
+    gt_dir, in_dir = _synth_pairs(str(tmp_path), rng, n=2)
+    os.remove(os.path.join(in_dir, "scene1.jpg"))
+    with pytest.raises(SystemExit):
+        convert(["--gt-dir", gt_dir, "--input-dir", in_dir,
+                 "--out", str(tmp_path / "records"), "--gt-ext", "hdr"])
+
+
+def test_evaluate_consumes_real_records(tmp_path, rng, capsys):
+    pytest.importorskip("cv2")
+    from skyhdr.cli.convert_real_eval import main as convert
+    from skyhdr.cli.evaluate import main as evaluate
+
+    gt_dir, in_dir = _synth_pairs(str(tmp_path), rng, n=3, h=32, w=64)
+    out = str(tmp_path / "records")
+    convert(["--gt-dir", gt_dir, "--input-dir", in_dir, "--out", out,
+             "--gt-ext", "hdr"])
+    capsys.readouterr()
+
+    evaluate(["--real-dir", out, "--imheight", "16", "--imwidth", "64",
+              "--batchsize", "2", "--workdir", str(tmp_path)])
+    line = [l for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")][-1]
+    result = json.loads(line)
+    assert result["images"] == 3
+    for k in ("psnr", "si_rmse", "emd"):
+        assert k in result and np.isfinite(result[k]), result

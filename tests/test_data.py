@@ -348,3 +348,29 @@ def test_streaming_dataset_process_sharding(tmp_path, rng):
     assert len(elevs[0]) == len(elevs[1]) == n // 2
     assert not (set(elevs[0]) & set(elevs[1]))  # disjoint
     assert sorted(elevs[0] + elevs[1]) == [float(i) for i in range(n)]
+
+
+def test_parallel_decode_matches_serial(tmp_path, rng):
+    """decode_workers>1 must produce a byte-identical sample stream to the
+    serial path (ordered in-flight window), for both dataset flavors —
+    seeded shuffles depend on stream order (VERDICT r3 item 5)."""
+    from skyhdr.data.pipeline import PanoramaDataset, StreamingPanoramaDataset
+
+    h, w, n = _write_split(tmp_path, rng, n_files=7, per_file=3)
+
+    def batches(ds):
+        return [(b["hdr"].copy(), b["elevation"].copy()) for b in ds]
+
+    for cls, kw in ((PanoramaDataset, dict(cache=False)),
+                    (PanoramaDataset, dict(cache=True)),
+                    (StreamingPanoramaDataset,
+                     dict(shuffle_buffer=5, process_index=0,
+                          process_count=1))):
+        serial = batches(cls(str(tmp_path), imshape=(h, w, 3), batch_size=4,
+                             seed=11, decode_workers=1, **kw))
+        parallel = batches(cls(str(tmp_path), imshape=(h, w, 3), batch_size=4,
+                               seed=11, decode_workers=4, **kw))
+        assert len(serial) == len(parallel) > 0
+        for (hs, es), (hp, ep) in zip(serial, parallel):
+            np.testing.assert_array_equal(hs, hp)
+            np.testing.assert_array_equal(es, ep)
