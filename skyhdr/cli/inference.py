@@ -56,7 +56,9 @@ def main(argv=None):
                              "device + dispatch, BASELINE.md); batching "
                              "amortizes it to ~0.2 ms/panorama at 32. The "
                              "final partial group is padded to the batch "
-                             "size (one compiled graph); default 1 keeps "
+                             "size (one compiled graph), so its last image "
+                             "is recomputed up to batch-1 times — padded "
+                             "outputs are not cost-free; default 1 keeps "
                              "compile time minimal for small folders")
     args = parser.parse_args(argv)
 
