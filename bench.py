@@ -32,6 +32,7 @@ import os
 import sys
 import threading
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -61,7 +62,7 @@ def _log(*args):
 #     b128) run first so they land within the first few minutes even cold.
 # ---------------------------------------------------------------------------
 
-BENCH_DEADLINE_S = float(os.environ.get("SKYHDR_BENCH_DEADLINE_S", "1020"))
+BENCH_DEADLINE_S = float(os.environ.get("SKYHDR_BENCH_DEADLINE_S", "900"))
 _T_START = time.monotonic()
 
 
@@ -178,6 +179,24 @@ def _credible_min(times, flops, peak=V5E_PEAK_FLOPS, mfu_cap=0.95):
     return min(credible), len(times) - len(credible)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _device_uniform(key, shape, lo=0.0, hi=1.0):
+    """Bench inputs are generated ON DEVICE: the tunnel moves host arrays at
+    ~6 MB/s (measured 2026-08-19: a 31 MB stack took 5.0 s to put), so
+    host-built input stacks dominated stage wall-clock. Distinct PRNG keys
+    per stack keep every execution byte-distinct (relay-cache-proof); the
+    generation itself is synced before any timing starts."""
+    return jax.random.uniform(key, shape, jnp.float32, lo, hi)
+
+
+def _sync_scalar(x):
+    """Barrier on a device array WITHOUT pulling it to the host: index one
+    element on device (serial execution ⇒ its completion implies the whole
+    producer finished) and host-read only that scalar. _host_sync(x) would
+    np.asarray the full leaf — a 31 MB device->host pull at ~35 MB/s."""
+    return _host_sync(x.ravel()[0] if hasattr(x, "ravel") else x)
+
+
 def _graph_flops(jitted, *args):
     """XLA's own FLOP count for the compiled graph (per execution)."""
     try:
@@ -243,9 +262,7 @@ def bench_inference(cfg, batch, iters=20, repeats=3, weights_dtype=None):
         return c
 
     def make_stack(r):
-        rng = np.random.default_rng(1000 + r)
-        return jnp.asarray(
-            rng.uniform(0, 1, size=(iters,) + shape).astype(np.float32))
+        return _device_uniform(jax.random.PRNGKey(1000 + r), (iters,) + shape)
 
     peak = _peak_flops(cfg.model.compute_dtype)
     flops = _graph_flops(step, jnp.zeros((), jnp.float32),
@@ -262,7 +279,7 @@ def bench_inference(cfg, batch, iters=20, repeats=3, weights_dtype=None):
         if r >= repeats and any(t >= floor for t in times):
             break                 # far violates the compute floor
         xs = make_stack(r)
-        _host_sync(xs)
+        _sync_scalar(xs)
         t0 = time.perf_counter()
         c = chain(state.gen_vars, state.sun_vars, xs)
         _host_sync(c)
@@ -272,8 +289,8 @@ def bench_inference(cfg, batch, iters=20, repeats=3, weights_dtype=None):
     # Per-call dispatch overhead: one extra pass dispatched step-by-step.
     per_call = _time_chained(
         lambda c, x: step(c, state.gen_vars, state.sun_vars, x),
-        [jnp.asarray(np.random.default_rng(7000).uniform(0, 1, shape)
-                     .astype(np.float32)) for _ in range(5)])
+        [_device_uniform(jax.random.PRNGKey(7000 + i), shape)
+         for i in range(5)])
 
     return {
         "panoramas_per_s": batch / dt,
@@ -300,13 +317,12 @@ def bench_train_step(cfg, iters=12, repeats=3):
 
     def one_pass(r):
         state = create_gan_state(cfg, jax.random.PRNGKey(r))
-        rng = np.random.default_rng(2000 + r)
-        batches = [{
-            "hdr": jnp.asarray(rng.uniform(0, 2, size=shape).astype(np.float32)),
-            "elevation": jnp.asarray(
-                np.linspace(4, 28, b).astype(np.float32) + r),
-        } for _ in range(iters)]
-        _host_sync(batches[-1]["hdr"])
+        hdrs = _device_uniform(
+            jax.random.PRNGKey(2000 + r), (iters,) + shape, 0.0, 2.0)
+        elev = jnp.asarray(np.linspace(4, 28, b).astype(np.float32) + r)
+        batches = [{"hdr": hdrs[i], "elevation": elev + 0.01 * i}
+                   for i in range(iters)]
+        _sync_scalar(batches[-1]["hdr"])
         keys = jax.random.split(jax.random.PRNGKey(100 + r), iters)
         # Warmup (also threads state so no step can be a cached replay).
         state, m0 = step(state, batches[0], keys[0])
@@ -353,13 +369,12 @@ def bench_sun_train_step(cfg, iters=12, repeats=3):
 
     def one_pass(r):
         state = create_sun_state(cfg, jax.random.PRNGKey(r))
-        rng = np.random.default_rng(3000 + r)
-        batches = [{
-            "hdr": jnp.asarray(rng.uniform(0, 2, size=shape).astype(np.float32)),
-            "elevation": jnp.asarray(
-                np.linspace(4, 28, b).astype(np.float32) + r),
-        } for _ in range(iters)]
-        _host_sync(batches[-1]["hdr"])
+        hdrs = _device_uniform(
+            jax.random.PRNGKey(3000 + r), (iters,) + shape, 0.0, 2.0)
+        elev = jnp.asarray(np.linspace(4, 28, b).astype(np.float32) + r)
+        batches = [{"hdr": hdrs[i], "elevation": elev + 0.01 * i}
+                   for i in range(iters)]
+        _sync_scalar(batches[-1]["hdr"])
         keys = jax.random.split(jax.random.PRNGKey(200 + r), iters)
         state, m0 = step(state, batches[0], keys[0])
         _host_sync(m0["sun_total"])
@@ -409,16 +424,15 @@ def bench_eval_pipeline(cfg, iters=12, repeats=3):
         return c
 
     def make_stack(r):
-        rng = np.random.default_rng(4000 + r)
         keys = jax.random.split(jax.random.PRNGKey(300 + r), iters)
-        return keys, jnp.asarray(
-            rng.uniform(0, 2, size=(iters,) + shape).astype(np.float32))
+        return keys, _device_uniform(
+            jax.random.PRNGKey(4000 + r), (iters,) + shape, 0.0, 2.0)
 
     _host_sync(chain(*make_stack(999)))
     times = []
     for r in range(repeats):
         keys, hdrs = make_stack(r)
-        _host_sync(hdrs)
+        _sync_scalar(hdrs)
         t0 = time.perf_counter()
         c = chain(keys, hdrs)
         _host_sync(c)
@@ -543,12 +557,16 @@ def _run_stages(result):
     # repeats=4 with the min taken across passes: the first pass after the
     # big 64x256 compiles has measured 1.8x contaminated (BENCH_r02 spread
     # [133, 75]) — >=3 clean samples are required for a trustworthy MFU.
-    run("DA-conv train step 64x256 b16", "da_conv_64x256_train_b16",
+    # b64 is the measured-best train batch at this config (2026-08-19 probes:
+    # b8 57.7 ms/139 pano/s/MFU 0.117, b16 85.9/186/0.157, b32 144.1/222/
+    # 0.187, b64 260.9/245/0.206 — step ~= 29.3 ms + 3.53 ms/sample; the
+    # constant is RMSprop/param HBM traffic, see BASELINE.md).
+    run("DA-conv train step 64x256 b64", "da_conv_64x256_train_b64",
         lambda: bench_train_step(
             Config(model=ModelConfig(im_height=64, im_width=256,
                                      use_da_conv=True),
-                   data=DataConfig(batch_size=16)),
-            iters=8, repeats=4), est_s=320)
+                   data=DataConfig(batch_size=64)),
+            iters=6, repeats=4), est_s=320)
     # Large-batch probe: MFU climbed 0.166 -> 0.324 from b32 -> b128; does
     # b256 continue the climb or hit an HBM/latency wall? (VERDICT r3 #7)
     run("train step 32x128 b256 bf16", "train_step_bf16_b256",

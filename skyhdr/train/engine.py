@@ -85,30 +85,46 @@ def create_gan_state(cfg: Config, rng) -> GanState:
     gen, sun, disc = build_models(cfg)
     h, w, c = cfg.model.imshape
     b = cfg.data.batch_size
-    x = jnp.zeros((b, h, w, c), jnp.float32)
-    k1, k2, k3 = jax.random.split(rng, 3)
-    gen_vars = unfreeze(gen.init(k1, x))
-    sun_vars = unfreeze(sun.init(k2, x))
-    disc_vars = unfreeze(disc.init(k3, x, x, train=False))
-    opt_gen = _rmsprop(cfg.train.learning_rate).init(
-        (gen_vars["params"], sun_vars["params"])
-    )
-    opt_disc = _rmsprop(cfg.train.learning_rate).init(disc_vars["params"])
-    return GanState(
-        gen_vars=gen_vars, sun_vars=sun_vars, disc_vars=disc_vars,
-        opt_gen=opt_gen, opt_disc=opt_disc,
-        step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32),
-    )
+
+    # The whole init runs as ONE jitted executable: an eager flax .init
+    # dispatches every parameter fill separately, which costs ~60 s of
+    # relay round-trips on the tunneled TPU (measured 2026-08-19) — a
+    # startup tax on every CLI and bench stage. Under jax.eval_shape (the
+    # host-restore template path, cli/common.py) the jit traces abstractly
+    # and allocates nothing.
+    def init(rng):
+        x = jnp.zeros((b, h, w, c), jnp.float32)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        gen_vars = unfreeze(gen.init(k1, x))
+        sun_vars = unfreeze(sun.init(k2, x))
+        disc_vars = unfreeze(disc.init(k3, x, x, train=False))
+        opt_gen = _rmsprop(cfg.train.learning_rate).init(
+            (gen_vars["params"], sun_vars["params"])
+        )
+        opt_disc = _rmsprop(cfg.train.learning_rate).init(disc_vars["params"])
+        return GanState(
+            gen_vars=gen_vars, sun_vars=sun_vars, disc_vars=disc_vars,
+            opt_gen=opt_gen, opt_disc=opt_disc,
+            step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32),
+        )
+
+    return jax.jit(init)(rng)
 
 
 def create_sun_state(cfg: Config, rng) -> SunState:
     sun = SunPoseNet(cfg.model)
     h, w, c = cfg.model.imshape
-    x = jnp.zeros((cfg.data.batch_size, h, w, c), jnp.float32)
-    sun_vars = unfreeze(sun.init(rng, x))
-    opt = _adam(cfg.train.learning_rate).init(sun_vars["params"])
-    return SunState(sun_vars=sun_vars, opt=opt,
-                    step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32))
+    b = cfg.data.batch_size
+
+    def init(rng):
+        x = jnp.zeros((b, h, w, c), jnp.float32)
+        sun_vars = unfreeze(sun.init(rng, x))
+        opt = _adam(cfg.train.learning_rate).init(sun_vars["params"])
+        return SunState(sun_vars=sun_vars, opt=opt,
+                        step=jnp.zeros((), jnp.int32),
+                        epoch=jnp.zeros((), jnp.int32))
+
+    return jax.jit(init)(rng)
 
 
 def _degrade(cfg: Config, banks: DegradationBanks, key, hdr):

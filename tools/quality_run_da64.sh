@@ -21,9 +21,11 @@ export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 DATA="$WORK/dataset_256_64/tfrecord"
 # Persistent XLA cache: the DA 64x256 GAN step is a ~25 min remote compile;
 # the cache makes restarts of this long run (session kills, OOM retries)
-# resume in seconds instead.
+# resume in seconds instead. Defaults to the repo-wide cache so the
+# 64x256 graphs already compiled by bench.py / the batch probes are reused;
+# override with QCACHE for an isolated cache.
 FLAGS=(--imheight 64 --imwidth 256 --batchsize "$BATCH" --da-conv true
-       --compilation-cache "$WORK/xla_cache")
+       --compilation-cache "${QCACHE:-/root/repo/.xla_cache}")
 
 if [ ! -d "$DATA/train" ]; then
     python tools/make_synth_dataset.py --out "$DATA" --imheight 64 \
