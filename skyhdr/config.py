@@ -34,6 +34,14 @@ class ModelConfig:
     # VMEM, XLA otherwise), 'pallas' (forced — combine with
     # pltpu.force_tpu_interpret_mode() off-TPU), or 'xla'.
     da_backend: str = "auto"
+    # Width-fold tiny-output convs onto the MXU lane axis (ops/foldconv.py,
+    # exact; the 7x7->3ch decoders otherwise run at 3/128 lane occupancy).
+    # MUST be False when the panorama width is GSPMD-sharded together with
+    # the batch: XLA's SPMD partitioner miscompiles the folded stride-F conv
+    # on a (data>=2, width>=2) mesh (wrong values, verified 2026-08-19 on
+    # the 8-device CPU mesh) — the parallel wrappers flip this off
+    # automatically (parallel/dp.py:_mesh_cfg).
+    fold_tiny_convs: bool = True
     # Numerics: conv stacks may run bf16; the radiance path (values up to
     # 3e4, reference sunrad_net.py:69) always stays f32.
     compute_dtype: str = "float32"

@@ -96,14 +96,16 @@ class Generator(nn.Module):
         # The final 7x7 convs emit 3 channels; conv() width-folds them so
         # the MXU's 128-lane output axis is not 3/128 occupied
         # (skyhdr.ops.foldconv; profiled at 0.56 ms each of a 4.8 ms graph).
-        self.conv1_f = conv(cfg.channels, 7, 1, name="conv1_f")
+        self.conv1_f = conv(cfg.channels, 7, 1, name="conv1_f",
+                            fold=cfg.fold_tiny_convs)
 
         # Sun decoder (generator.py:81-87).
         self.conv3_u = _deconv(cfg, d1, (h // 2, w // 2), name="conv3_u")
         self.norm3_u = InstanceNorm()
         self.conv2_u = _deconv(cfg, d2, (h, w), name="conv2_u")
         self.norm2_u = InstanceNorm()
-        self.conv1_u = conv(cfg.channels, 7, 1, name="conv1_u")
+        self.conv1_u = conv(cfg.channels, 7, 1, name="conv1_u",
+                            fold=cfg.fold_tiny_convs)
 
         # Sun-radiance head (generator.py:90). Its conv trunk follows the
         # compute dtype; the Dirac-delta radiance math itself is pinned to

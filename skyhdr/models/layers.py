@@ -70,6 +70,9 @@ class Conv2D(nn.Module):
     use_bias: bool = True
     init_scale: str = "glorot"
     dtype: any = None
+    # ModelConfig.fold_tiny_convs: disabled under combined batch+width
+    # GSPMD sharding, where XLA miscompiles the folded stride-F conv.
+    fold: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -92,7 +95,7 @@ class Conv2D(nn.Module):
         # naive N-padding model (34 TF/s at co=32), and the fold's extra
         # FLOPs ((F+kw-1)/kw per output) then cost real time. The co=3
         # decoders went 0.56 -> ~0.01 ms; that is the regime this targets.
-        if (self.strides == 1 and self.features <= 8
+        if (self.fold and self.strides == 1 and self.features <= 8
                 and pick_fold(x.shape[-2], self.features) > 1):
             return width_folded_conv(x, k, b)
         import jax.lax as lax
@@ -103,13 +106,14 @@ class Conv2D(nn.Module):
 
 
 def conv(features: int, kernel: int, strides: int = 1, *, name=None,
-         use_bias: bool = True, init_scale: str = "glorot", dtype=None):
+         use_bias: bool = True, init_scale: str = "glorot", dtype=None,
+         fold: bool = True):
     """SAME-padded conv with the reference's initializers. `dtype` is the
     computation dtype (bf16 on TPU when ModelConfig.compute_dtype says so);
     params stay float32. Returns the MXU-aware Conv2D (param-compatible
     with nn.Conv)."""
     return Conv2D(features, kernel, strides, use_bias=use_bias,
-                  init_scale=init_scale, dtype=dtype, name=name)
+                  init_scale=init_scale, dtype=dtype, fold=fold, name=name)
 
 
 class ResizeDeconv(nn.Module):

@@ -22,6 +22,16 @@ vs kw for the unfolded conv — ~6x for kw=7, F=32. The folded kernel is
 built from the stored (kh, kw, ci, co) parameter with one einsum against a
 static 0/1 selector, so parameter trees, checkpoints, and TF-transplant
 parity maps are unchanged and gradients flow exactly.
+
+SHARDING CAVEAT: under GSPMD, the folded stride-F conv is MISCOMPILED by
+XLA's SPMD partitioner when the width axis is sharded together with a
+sharded batch — wrong values, not a slowdown (verified 2026-08-19 on an
+8-device mesh: exact at (data=8,width=1) and (1,2), relerr ~1 at (2,2)
+and (4,2); the divergence is in the conv itself, pre-reshape, and occurs
+with both explicit-pad and conv-native padding). Single-device and
+data-parallel-only uses are exact. ModelConfig.fold_tiny_convs gates the
+fold; skyhdr.parallel routes it off whenever width sharding is requested
+(parallel/dp.py:_mesh_cfg).
 """
 
 from __future__ import annotations

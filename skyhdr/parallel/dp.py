@@ -17,15 +17,24 @@ from skyhdr.data.degradation import DegradationBanks
 from skyhdr.train.engine import make_gan_train_step, make_sun_train_step
 
 
-def _mesh_cfg(cfg: Config) -> Config:
-    """Inside a GSPMD-sharded jit the plain Pallas path is an opaque custom
-    call the partitioner cannot split; route DA convs through the
-    custom_partitioning wrappers (skyhdr.ops.pallas.sharded) instead.
-    Explicit da_backend settings ('xla', 'pallas') are respected."""
-    if cfg.model.use_da_conv and cfg.model.da_backend == "auto":
-        return cfg.replace(
-            model=dataclasses.replace(cfg.model, da_backend="sharded"))
-    return cfg
+def _mesh_cfg(cfg: Config, shard_width: bool = False) -> Config:
+    """Route model internals to their GSPMD-safe variants.
+
+    * DA convs: inside a GSPMD-sharded jit the plain Pallas path is an
+      opaque custom call the partitioner cannot split; route through the
+      custom_partitioning wrappers (skyhdr.ops.pallas.sharded) instead.
+      Explicit da_backend settings ('xla', 'pallas') are respected.
+    * Width-folded tiny convs: XLA's SPMD partitioner MISCOMPILES the
+      folded stride-F conv when the width axis is sharded together with a
+      sharded batch (wrong values on a (data>=2, width>=2) mesh, verified
+      2026-08-19 vs single-device; data-only and width-only layouts are
+      exact) — disable folding whenever the width is sharded."""
+    model = cfg.model
+    if model.use_da_conv and model.da_backend == "auto":
+        model = dataclasses.replace(model, da_backend="sharded")
+    if shard_width and model.fold_tiny_convs:
+        model = dataclasses.replace(model, fold_tiny_convs=False)
+    return cfg if model is cfg.model else cfg.replace(model=model)
 
 
 def _shardings_for_batch(mesh: Mesh, shard_width: bool = False):
@@ -52,8 +61,8 @@ def make_parallel_gan_train_step(cfg: Config, banks: DegradationBanks,
 
     # Build the raw python step (jit=False) and jit it once with explicit
     # shardings — never unwrap a jitted callable.
-    raw_step = make_gan_train_step(_mesh_cfg(cfg), banks, vgg_weights,
-                                   jit=False)
+    raw_step = make_gan_train_step(_mesh_cfg(cfg, shard_width), banks,
+                                   vgg_weights, jit=False)
 
     step = jax.jit(
         raw_step,
