@@ -43,6 +43,18 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="conv-stack compute dtype (radiance head, "
                              "softmax and norms stay f32; bfloat16 is ~2.5x "
                              "faster per train step on v5e)")
+    parser.add_argument("--opt-state-dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="optimizer-moment storage dtype: bfloat16 "
+                             "halves the optimizer slice of HBM residency "
+                             "and checkpoint bytes (update math stays f32; "
+                             "see TrainConfig.opt_state_dtype)")
+    parser.add_argument("--grad-dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="gradient staging dtype: bfloat16 stages the "
+                             "param-sized dW buffers at half width (update "
+                             "math stays f32; perf-neutral per step, see "
+                             "TrainConfig.grad_dtype)")
     parser.add_argument("--streaming", type=str2bool, default=None,
                         help="stream TFRecords with a windowed shuffle "
                              "buffer instead of caching the split in RAM "
@@ -104,6 +116,9 @@ def config_from_args(args) -> Config:
                             f"dataset_{args.imwidth}_{args.imheight}/tfrecord")),
         train=TrainConfig(learning_rate=args.lr, epochs=args.epochs,
                           vgg_path=getattr(args, "vgg", None),
+                          opt_state_dtype=getattr(args, "opt_state_dtype",
+                                                  "float32"),
+                          grad_dtype=getattr(args, "grad_dtype", "float32"),
                           ckpt_every_epochs=getattr(args, "ckpt_every", 10),
                           steps_per_dispatch=getattr(
                               args, "steps_per_dispatch", 1),

@@ -109,6 +109,27 @@ class TrainConfig:
     tensorboard_dir: str = "tensorboard"
     vgg_path: Optional[str] = None
     seed: int = 0
+    # Optimizer-moment storage dtype. 'bfloat16' halves the optimizer slice
+    # of HBM residency and checkpoint bytes (RMSprop nu at 64x256: 3.3 ->
+    # 1.65 GB; sun-pretrain Adam mu+nu: 6.4 -> 3.2 GB — the reference's own
+    # h*w-wide sunpose FCs, sunpose_net.py:36, dominate both) and the
+    # per-step moment streaming at rest. Update math still runs in f32, so
+    # only the at-rest quantization (bf16 has ~3 significant digits) differs
+    # from the f32 path; measured perf-NEUTRAL per step at 64x256 b32 —
+    # this is a residency/checkpoint-bytes knob, not a speed knob
+    # (BASELINE.md "bf16 optimizer state ... perf-NEUTRAL"). One-step
+    # agreement with f32 is bounded in tests/test_opt_state_dtype.py;
+    # end-to-end quality at 64x256 (with grad_dtype=bf16 too) measured
+    # -1.30 dB PSNR vs f32 state on a single 60-epoch run (BASELINE.md
+    # quality table).
+    opt_state_dtype: str = "float32"
+    # Gradient staging dtype. 'bfloat16' casts the loss gradients before the
+    # optimizer update (the bf16 exponent range matches f32, so no loss
+    # scaling is needed; optimizer math still runs in f32). Measured
+    # perf-NEUTRAL at 64x256 b32 (BASELINE.md); kept as an HBM-staging
+    # knob with one-step f32 agreement bounded in
+    # tests/test_opt_state_dtype.py. Orthogonal to opt_state_dtype.
+    grad_dtype: str = "float32"
     # Steps executed per device dispatch (TrainLoop scans this many batches
     # in ONE jitted call; the key sequence and update order are identical to
     # the per-step path, and the epoch tail flushes per-step). Default 1:

@@ -64,14 +64,49 @@ class SunState(struct.PyTreeNode):
     epoch: jnp.ndarray
 
 
-def _rmsprop(lr: float) -> optax.GradientTransformation:
+def _cast_floating(tree, dtype):
+    """Cast every floating leaf of an optax state tree; ints (step counts)
+    pass through."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def _with_state_dtype(tx: optax.GradientTransformation,
+                      dtype: str) -> optax.GradientTransformation:
+    """Store optimizer moments at `dtype` while computing updates in f32.
+
+    The upcast/downcast converts fuse into the optimizer's elementwise HLO,
+    so the HBM traffic for the moments is at the narrow dtype — at 64x256
+    the RMSprop nu alone is 3.3 GB f32 (TrainConfig.opt_state_dtype)."""
+    if dtype in (None, "float32"):
+        return tx
+    store = jnp.dtype(dtype)
+
+    def init(params):
+        return _cast_floating(tx.init(params), store)
+
+    def update(updates, state, params=None):
+        new_updates, new_state = tx.update(
+            updates, _cast_floating(state, jnp.float32), params)
+        return new_updates, _cast_floating(new_state, store)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _rmsprop(lr: float, state_dtype: str = "float32") -> optax.GradientTransformation:
     # Keras RMSprop defaults (train.py:201-202): rho=0.9, eps=1e-7.
-    return optax.rmsprop(lr, decay=0.9, eps=1e-7)
+    return _with_state_dtype(optax.rmsprop(lr, decay=0.9, eps=1e-7),
+                             state_dtype)
 
 
-def _adam(lr: float) -> optax.GradientTransformation:
+def _adam(lr: float, state_dtype: str = "float32") -> optax.GradientTransformation:
     # Keras Adam defaults (tf_utils.py:324).
-    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-7)
+    return _with_state_dtype(optax.adam(lr, b1=0.9, b2=0.999, eps=1e-7),
+                             state_dtype)
 
 
 def build_models(cfg: Config):
@@ -98,10 +133,12 @@ def create_gan_state(cfg: Config, rng) -> GanState:
         gen_vars = unfreeze(gen.init(k1, x))
         sun_vars = unfreeze(sun.init(k2, x))
         disc_vars = unfreeze(disc.init(k3, x, x, train=False))
-        opt_gen = _rmsprop(cfg.train.learning_rate).init(
+        opt_gen = _rmsprop(cfg.train.learning_rate,
+                           cfg.train.opt_state_dtype).init(
             (gen_vars["params"], sun_vars["params"])
         )
-        opt_disc = _rmsprop(cfg.train.learning_rate).init(disc_vars["params"])
+        opt_disc = _rmsprop(cfg.train.learning_rate,
+                            cfg.train.opt_state_dtype).init(disc_vars["params"])
         return GanState(
             gen_vars=gen_vars, sun_vars=sun_vars, disc_vars=disc_vars,
             opt_gen=opt_gen, opt_disc=opt_disc,
@@ -119,7 +156,8 @@ def create_sun_state(cfg: Config, rng) -> SunState:
     def init(rng):
         x = jnp.zeros((b, h, w, c), jnp.float32)
         sun_vars = unfreeze(sun.init(rng, x))
-        opt = _adam(cfg.train.learning_rate).init(sun_vars["params"])
+        opt = _adam(cfg.train.learning_rate,
+                    cfg.train.opt_state_dtype).init(sun_vars["params"])
         return SunState(sun_vars=sun_vars, opt=opt,
                         step=jnp.zeros((), jnp.int32),
                         epoch=jnp.zeros((), jnp.int32))
@@ -254,8 +292,12 @@ def make_gan_train_step(cfg: Config, banks: DegradationBanks, vgg_weights,
     raw python step for callers that re-jit with explicit shardings
     (skyhdr.parallel.dp)."""
     gen, sun, disc = build_models(cfg)
-    tx_gen = _rmsprop(cfg.train.learning_rate)
-    tx_disc = _rmsprop(cfg.train.learning_rate)
+    tx_gen = _rmsprop(cfg.train.learning_rate, cfg.train.opt_state_dtype)
+    tx_disc = _rmsprop(cfg.train.learning_rate, cfg.train.opt_state_dtype)
+    # bf16 gradient staging (TrainConfig.grad_dtype): the cast fuses into
+    # the gradient producers, halving the param-sized dW HBM writes/reads.
+    grad_store = (None if cfg.train.grad_dtype in (None, "float32")
+                  else jnp.dtype(cfg.train.grad_dtype))
 
     def step(state: GanState, batch, key):
         sunpose_gt = _sunpose_gt_from_elevation(cfg, batch["elevation"])
@@ -274,6 +316,8 @@ def make_gan_train_step(cfg: Config, banks: DegradationBanks, vgg_weights,
         (gen_total, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
             (state.gen_vars["params"], state.sun_vars["params"])
         )
+        if grad_store is not None:
+            grads = _cast_floating(grads, grad_store)
         updates, new_opt_gen = tx_gen.update(grads, state.opt_gen)
         new_gen_p, new_sun_p = optax.apply_updates(
             (state.gen_vars["params"], state.sun_vars["params"]), updates
@@ -294,6 +338,8 @@ def make_gan_train_step(cfg: Config, banks: DegradationBanks, vgg_weights,
         (disc_total, (new_disc_bs, real_l, gen_l)), dgrads = jax.value_and_grad(
             disc_loss_fn, has_aux=True
         )(state.disc_vars["params"])
+        if grad_store is not None:
+            dgrads = _cast_floating(dgrads, grad_store)
         dupdates, new_opt_disc = tx_disc.update(dgrads, state.opt_disc)
         new_disc_p = optax.apply_updates(state.disc_vars["params"], dupdates)
 
@@ -361,7 +407,9 @@ def _sun_losses(cfg: Config, sun: SunPoseNet, sun_vars, ldr, sunpose_gt):
 def make_sun_train_step(cfg: Config, banks: DegradationBanks,
                         jit: bool = True):
     sun = SunPoseNet(cfg.model)
-    tx = _adam(cfg.train.learning_rate)
+    tx = _adam(cfg.train.learning_rate, cfg.train.opt_state_dtype)
+    grad_store = (None if cfg.train.grad_dtype in (None, "float32")
+                  else jnp.dtype(cfg.train.grad_dtype))
 
     def step(state: SunState, batch, key):
         sunpose_gt = _sunpose_gt_from_elevation(cfg, batch["elevation"])
@@ -375,6 +423,8 @@ def make_sun_train_step(cfg: Config, banks: DegradationBanks,
         (total, (kl, dog, pred_img, gt_img, cams)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.sun_vars["params"])
         )
+        if grad_store is not None:
+            grads = _cast_floating(grads, grad_store)
         updates, new_opt = tx.update(grads, state.opt)
         new_params = optax.apply_updates(state.sun_vars["params"], updates)
         new_state = state.replace(sun_vars={"params": new_params},

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--sun", action="store_true", help="sun pretrain step")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--opt-state-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--grad-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--instances", type=int, default=0,
@@ -44,7 +48,7 @@ def main():
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
 
-    from skyhdr.config import Config, DataConfig, ModelConfig
+    from skyhdr.config import Config, DataConfig, ModelConfig, TrainConfig
     from skyhdr.data.degradation import make_banks
     from skyhdr.models.vgg16 import random_vgg16_weights
     from skyhdr.train.engine import (create_gan_state, create_sun_state,
@@ -54,7 +58,9 @@ def main():
     cfg = Config(model=ModelConfig(im_height=args.height, im_width=args.width,
                                    use_da_conv=args.da,
                                    compute_dtype=args.dtype),
-                 data=DataConfig(batch_size=args.batch))
+                 data=DataConfig(batch_size=args.batch),
+                 train=TrainConfig(opt_state_dtype=args.opt_state_dtype,
+                                   grad_dtype=args.grad_dtype))
     banks = make_banks(make_synthetic_dorf(175, 1024), get_exposure_lists()[0])
     if args.sun:
         step = make_sun_train_step(cfg, banks, jit=False)
