@@ -63,26 +63,36 @@ def random_vgg16_weights(seed: int = 0) -> Dict[str, Tuple[np.ndarray, np.ndarra
     return out
 
 
-def vgg16_features(weights, rgb01):
+def vgg16_features(weights, rgb01, dtype=jnp.float32):
     """rgb01: [b, h, w, 3] in [0, 1] -> (pool1, pool2, pool3).
 
     Mirrors reference vgg16.py:127-166 (x255 scaling + mean subtraction +
     conv/relu/maxpool pyramid). Pure function; `weights` is a dict of
     constants.
+
+    `dtype` is the conv compute/constant dtype. The default keeps the f32
+    path bit-identical; under ModelConfig.compute_dtype='bfloat16' the GAN
+    loss passes bf16, which halves the backbone's MXU/HBM cost (the frozen
+    features only feed an L1 loss, so this is the textbook mixed-precision
+    target; preprocessing stays f32 so the x255/mean math doesn't quantize
+    the [0,1] input).
     """
     x = rgb01.astype(jnp.float32) * 255.0
     mean = jnp.asarray(VGG_MEAN_RGB, jnp.float32)
-    x = x - mean
+    x = (x - mean).astype(dtype)
 
     outs = []
     for name, _, _ in _LAYERS:
         w, b = weights[name]
         x = lax.conv_general_dilated(
-            x, jnp.asarray(w), (1, 1), "SAME",
+            x, jnp.asarray(w, dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + jnp.asarray(b)
+        ) + jnp.asarray(b, dtype)
         x = jnp.maximum(x, 0.0)
         if name in _POOL_AFTER:
+            # NB: the init value must stay a python scalar (weak-typed to
+            # x.dtype) — a traced array init breaks reduce_window's
+            # reverse-mode AD inside the jitted train step.
             x = lax.reduce_window(
                 x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
             )
@@ -90,11 +100,13 @@ def vgg16_features(weights, rgb01):
     return tuple(outs)
 
 
-def perceptual_l1(weights, pred_gamma, target_gamma):
-    """Sum of mean-|.| over pool1-3 features (reference train.py:308-313)."""
-    fp = vgg16_features(weights, pred_gamma)
-    ft = vgg16_features(weights, target_gamma)
+def perceptual_l1(weights, pred_gamma, target_gamma, dtype=jnp.float32):
+    """Sum of mean-|.| over pool1-3 features (reference train.py:308-313).
+
+    The per-level means accumulate in f32 regardless of the feature dtype."""
+    fp = vgg16_features(weights, pred_gamma, dtype)
+    ft = vgg16_features(weights, target_gamma, dtype)
     loss = 0.0
     for a, b in zip(fp, ft):
-        loss = loss + jnp.mean(jnp.abs(a - b))
+        loss = loss + jnp.mean(jnp.abs(a - b), dtype=jnp.float32)
     return loss

@@ -256,7 +256,13 @@ def generator_forward(cfg: Config, gen: Generator, sun: SunPoseNet,
 
     # Losses (train.py:304-331).
     sun_loss = losses.kl_divergence(sunpose_gt, sm)
-    perceptual = perceptual_l1(vgg_weights, y_final_gamma, hdr_t_gamma)
+    # Frozen backbone follows the conv-stack compute dtype: bf16 halves the
+    # VGG slice of the step (6 of 28 ms at 32x128 b128 bf16, profiler
+    # 2026-08-19) and only feeds an L1 loss; f32 compute stays bit-identical.
+    vgg_dt = (jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
+              else jnp.float32)
+    perceptual = perceptual_l1(vgg_weights, y_final_gamma, hdr_t_gamma,
+                               dtype=vgg_dt)
     dog = dog_l1_loss(y_final_lin, hdr_t)
     l1 = losses.l1_loss(y_final_lin, hdr_t)
     adv = losses.lsgan_gen_loss(disc_generated)

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from skyhdr.config import ModelConfig
 from skyhdr.models import (
@@ -179,6 +180,34 @@ def test_vgg16_features_and_perceptual():
     assert p3.shape == (B, 4, 16, 256)
     assert float(perceptual_l1(weights, x, x)) == 0.0
     assert float(perceptual_l1(weights, x, x * 0.5 + 0.1)) > 0.0
+
+
+def test_vgg16_bf16_close_to_f32():
+    """The bf16 backbone (compute_dtype follow, engine.py) must agree with
+    f32 on the loss value and on the gradient direction — it only feeds an
+    L1 loss, so ~2^-8 relative feature error is the expected band."""
+    weights = random_vgg16_weights()
+    pred = _ldr(CFG, seed=2)
+    target = _ldr(CFG, seed=3)
+
+    f32 = float(perceptual_l1(weights, pred, target))
+    bf16 = float(perceptual_l1(weights, pred, target, dtype=jnp.bfloat16))
+    assert bf16 == pytest.approx(f32, rel=0.02)
+    assert jnp.asarray(
+        perceptual_l1(weights, pred, target, dtype=jnp.bfloat16)
+    ).dtype == jnp.float32  # loss accumulates f32
+
+    g32 = jax.grad(lambda p: perceptual_l1(weights, p, target))(pred)
+    g16 = jax.grad(
+        lambda p: perceptual_l1(weights, p, target, dtype=jnp.bfloat16)
+    )(pred)
+    assert g16.dtype == g32.dtype == pred.dtype
+    cos = float(jnp.vdot(g32, g16)
+                / (jnp.linalg.norm(g32.ravel()) * jnp.linalg.norm(g16.ravel())))
+    # 0.983 measured with the He stand-in weights (noisier features than a
+    # trained VGG); the bound guards against a broken cast path, not noise.
+    assert cos > 0.97
+    assert bool(jnp.isfinite(g16).all())
 
 
 def test_vgg16_npy_loader(tmp_path):
