@@ -42,6 +42,12 @@ class ModelConfig:
     # the 8-device CPU mesh) — the parallel wrappers flip this off
     # automatically (parallel/dp.py:_mesh_cfg).
     fold_tiny_convs: bool = True
+    # Fused InstanceNorm(+activation) Pallas kernel (ops/pallas/instnorm.py):
+    # one HBM pass forward instead of XLA's reduce-then-normalize two reads.
+    # Auto-gated to TPU + VMEM-sized slabs; the parallel wrappers flip it
+    # off under GSPMD sharding (a bare pallas_call is an opaque custom call
+    # the partitioner would replicate — parallel/dp.py:_mesh_cfg).
+    fused_instance_norm: bool = True
     # Numerics: conv stacks may run bf16; the radiance path (values up to
     # 3e4, reference sunrad_net.py:69) always stays f32.
     compute_dtype: str = "float32"

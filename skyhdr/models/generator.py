@@ -46,11 +46,11 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        fuse = self.cfg.fused_instance_norm
         y = _conv(self.cfg, self.filters_out, self.kernel, name="conv1")(x)
-        y = InstanceNorm(name="norm1")(y)
-        y = leaky_relu_01(y)
+        y = InstanceNorm(name="norm1", fuse=fuse)(y, act="lrelu01")
         y = _conv(self.cfg, self.filters_out, self.kernel, name="conv2")(y)
-        y = InstanceNorm(name="norm2")(y)
+        y = InstanceNorm(name="norm2", fuse=fuse)(y)
         if self.filters_in != self.filters_out:
             x = conv(self.filters_out, 1, name="identity")(x)
         return x + y
@@ -75,13 +75,15 @@ class Generator(nn.Module):
         h, w = cfg.im_height, cfg.im_width
         f1, f2, f3 = cfg.enc_filters
 
+        fuse = cfg.fused_instance_norm
+
         # Encoder (generator.py:60-69).
         self.conv1_d = conv(f1, 7, 1, name="conv1_d")
-        self.norm1_d = InstanceNorm()
+        self.norm1_d = InstanceNorm(fuse=fuse)
         self.conv2_d = conv(f2, 3, 2, name="conv2_d")
-        self.norm2_d = InstanceNorm()
+        self.norm2_d = InstanceNorm(fuse=fuse)
         self.conv3_d = conv(f3, 3, 2, name="conv3_d")
-        self.norm3_d = InstanceNorm()
+        self.norm3_d = InstanceNorm(fuse=fuse)
         self.res_blocks = [
             ResBlock(cfg, f3, f3, cfg.da_kernel_size, name=f"res{i}")
             for i in range(cfg.num_res_blocks)
@@ -90,9 +92,9 @@ class Generator(nn.Module):
         # Sky decoder (generator.py:72-78).
         d1, d2 = cfg.dec_filters
         self.conv3_f = _deconv(cfg, d1, (h // 2, w // 2), name="conv3_f")
-        self.norm3_f = InstanceNorm()
+        self.norm3_f = InstanceNorm(fuse=fuse)
         self.conv2_f = _deconv(cfg, d2, (h, w), name="conv2_f")
-        self.norm2_f = InstanceNorm()
+        self.norm2_f = InstanceNorm(fuse=fuse)
         # The final 7x7 convs emit 3 channels; conv() width-folds them so
         # the MXU's 128-lane output axis is not 3/128 occupied
         # (skyhdr.ops.foldconv; profiled at 0.56 ms each of a 4.8 ms graph).
@@ -101,9 +103,9 @@ class Generator(nn.Module):
 
         # Sun decoder (generator.py:81-87).
         self.conv3_u = _deconv(cfg, d1, (h // 2, w // 2), name="conv3_u")
-        self.norm3_u = InstanceNorm()
+        self.norm3_u = InstanceNorm(fuse=fuse)
         self.conv2_u = _deconv(cfg, d2, (h, w), name="conv2_u")
-        self.norm2_u = InstanceNorm()
+        self.norm2_u = InstanceNorm(fuse=fuse)
         self.conv1_u = conv(cfg.channels, 7, 1, name="conv1_u",
                             fold=cfg.fold_tiny_convs)
 
@@ -114,9 +116,9 @@ class Generator(nn.Module):
 
     def encode(self, x):
         """conv x3 + residual trunk (reference generator.py:92-108)."""
-        y = leaky_relu_01(self.norm1_d(self.conv1_d(x)))
-        y = leaky_relu_01(self.norm2_d(self.conv2_d(y)))
-        y = leaky_relu_01(self.norm3_d(self.conv3_d(y)))
+        y = self.norm1_d(self.conv1_d(x), act="lrelu01")
+        y = self.norm2_d(self.conv2_d(y), act="lrelu01")
+        y = self.norm3_d(self.conv3_d(y), act="lrelu01")
         for block in self.res_blocks:
             y = block(y)
         return y
@@ -124,8 +126,8 @@ class Generator(nn.Module):
     def sky_decode(self, x, inp):
         """Two resize-deconvs + 7x7 conv + input skip-add + relu
         (reference generator.py:110-125). Output is gamma-domain sky."""
-        y = leaky_relu_01(self.norm3_f(self.conv3_f(x)))
-        y = leaky_relu_01(self.norm2_f(self.conv2_f(y)))
+        y = self.norm3_f(self.conv3_f(x), act="lrelu01")
+        y = self.norm2_f(self.conv2_f(y), act="lrelu01")
         y = leaky_relu_01(self.conv1_f(y))
         return nn.relu(inp + y)
 
@@ -133,8 +135,8 @@ class Generator(nn.Module):
         """Sun decoder; adds the analytic radiance in gamma domain to
         preserve the sun peak (reference generator.py:127-156 — the shipped
         path has no CAM skip connections)."""
-        y = leaky_relu_01(self.norm3_u(self.conv3_u(x)))
-        y = leaky_relu_01(self.norm2_u(self.conv2_u(y)))
+        y = self.norm3_u(self.conv3_u(x), act="lrelu01")
+        y = self.norm2_u(self.conv2_u(y), act="lrelu01")
         y = leaky_relu_01(self.conv1_u(y))
         return nn.relu(sun_rad + y)
 

@@ -36,22 +36,44 @@ def instance_moments(xf):
     return mean, var
 
 
+_ACT_ALPHA = {"none": 1.0, "relu": 0.0, "lrelu01": 0.1}
+
+
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel normalization over (H, W) with learned scale
-    and offset. Matches tfa.layers.InstanceNormalization (epsilon=1e-3)."""
+    and offset. Matches tfa.layers.InstanceNormalization (epsilon=1e-3).
+
+    `act` fuses the follower activation ('relu' | 'lrelu01' | 'none') into
+    the op: with `fuse` (ModelConfig.fused_instance_norm) the whole
+    normalize+activation runs as one Pallas kernel — one HBM read pass
+    instead of XLA's separate moments-reduce + normalize passes
+    (ops/pallas/instnorm.py has the profile evidence). The unfused path is
+    bit-identical to the historical InstanceNorm-then-activation graph."""
 
     epsilon: float = 1e-3
+    fuse: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, act: str = "none"):
         c = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,))
         beta = self.param("bias", nn.initializers.zeros, (c,))
+        if self.fuse:
+            from skyhdr.ops.pallas.instnorm import (fused_in_supported,
+                                                    instance_norm_act)
+            if fused_in_supported(x.shape):
+                return instance_norm_act(x, gamma, beta, eps=self.epsilon,
+                                         alpha=_ACT_ALPHA[act])
         # Statistics in f32 even under bf16 compute for stability.
         xf = x.astype(jnp.float32)
         mean, var = instance_moments(xf)
         y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
-        return (y * gamma + beta).astype(x.dtype)
+        y = (y * gamma + beta).astype(x.dtype)
+        if act == "relu":
+            return nn.relu(y)
+        if act == "lrelu01":
+            return leaky_relu_01(y)
+        return y
 
 
 class Conv2D(nn.Module):

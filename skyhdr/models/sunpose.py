@@ -38,8 +38,9 @@ class SunPoseLayer(nn.Module):
                               backend=self.cfg.da_backend, name=name)
             return conv(self.features, self.kernel, name=name, dtype=dt)
 
-        x = nn.relu(InstanceNorm(name="norm1")(_conv("conv1")(x)))
-        x = nn.relu(InstanceNorm(name="norm2")(_conv("conv2")(x)))
+        fuse = self.cfg.fused_instance_norm
+        x = InstanceNorm(name="norm1", fuse=fuse)(_conv("conv1")(x), act="relu")
+        x = InstanceNorm(name="norm2", fuse=fuse)(_conv("conv2")(x), act="relu")
         return x
 
 

@@ -34,6 +34,11 @@ def _mesh_cfg(cfg: Config, shard_width: bool = False) -> Config:
         model = dataclasses.replace(model, da_backend="sharded")
     if shard_width and model.fold_tiny_convs:
         model = dataclasses.replace(model, fold_tiny_convs=False)
+    if model.fused_instance_norm:
+        # The fused IN pallas_call is an opaque custom call to the SPMD
+        # partitioner: under any sharding it would be all-gathered onto
+        # every device. Route back to the (partitionable) XLA composition.
+        model = dataclasses.replace(model, fused_instance_norm=False)
     return cfg if model is cfg.model else cfg.replace(model=model)
 
 

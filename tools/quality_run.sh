@@ -19,17 +19,17 @@ fi
 echo "=== sun pretrain ($SUN_EPOCHS epochs)"
 python -m skyhdr.cli.train_sun --train true --dir "$DATA" \
     --epochs "$SUN_EPOCHS" --ckpt-every 20 --workdir "$WORK/f32" \
-    --outputimg-every 0 2>&1 | grep -E "Epoch (1|.*0):" || true
+    --outputimg-every 0 2>&1 | grep -E "Epoch (1|.*0):|Error|Traceback|assert"
 
 echo "=== GAN f32 ($GAN_EPOCHS epochs)"
 python -m skyhdr.cli.train --dir "$DATA" --epochs "$GAN_EPOCHS" \
-    --ckpt-every 20 --workdir "$WORK/f32" 2>&1 | grep -E "Epoch .*0:|restored" || true
+    --ckpt-every 20 --workdir "$WORK/f32" 2>&1 | grep -E "Epoch .*0:|restored|Error|Traceback|assert"
 
 echo "=== GAN bf16 ($GAN_EPOCHS epochs)"
 mkdir -p "$WORK/bf16/checkpoints"
 python -m skyhdr.cli.train --dir "$DATA" --epochs "$GAN_EPOCHS" \
     --ckpt-every 20 --workdir "$WORK/bf16" --compute-dtype bfloat16 \
-    --sun "$WORK/f32/checkpoints/SUN" 2>&1 | grep -E "Epoch .*0:|restored" || true
+    --sun "$WORK/f32/checkpoints/SUN" 2>&1 | grep -E "Epoch .*0:|restored|Error|Traceback|assert"
 
 echo "=== evaluate: untrained floor"
 mkdir -p "$WORK/untrained"
