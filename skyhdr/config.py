@@ -44,10 +44,15 @@ class ModelConfig:
     fold_tiny_convs: bool = True
     # Fused InstanceNorm(+activation) Pallas kernel (ops/pallas/instnorm.py):
     # one HBM pass forward instead of XLA's reduce-then-normalize two reads.
-    # Auto-gated to TPU + VMEM-sized slabs; the parallel wrappers flip it
-    # off under GSPMD sharding (a bare pallas_call is an opaque custom call
-    # the partitioner would replicate — parallel/dp.py:_mesh_cfg).
-    fused_instance_norm: bool = True
+    # DEFAULT OFF (measured 2026-08-19, tools/exp_instnorm.py on the real
+    # TPU): the backward kernel VMEM-OOMs at AOT compile on the flagship
+    # encoder level (c=32 lane-pads 4x to 128 lanes; ~8 live f32 slabs hit
+    # the 16 MB scoped limit at b128) — the exact cause of BENCH_r04's
+    # failed train_step_bf16_b128 stage — and the unfused XLA composition
+    # already multi-output-fuses the moment pass, so no measured win
+    # justifies the kernel. Opt-in for experiments; the parallel wrappers
+    # force it off under GSPMD sharding regardless (parallel/dp.py:_mesh_cfg).
+    fused_instance_norm: bool = False
     # Numerics: conv stacks may run bf16; the radiance path (values up to
     # 3e4, reference sunrad_net.py:69) always stays f32.
     compute_dtype: str = "float32"

@@ -41,20 +41,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Per-sample f32 slab budget. The backward holds ~5 f32-sized live arrays
-# (xf, dyf, xhat, dy_pre, dx) in VMEM at once; 2 MB slabs keep that under
-# ~12 MB of the ~16 MB/core VMEM. Covers every IN in the 32x128 flagship
-# (largest slab 1 MB) and all but the first encoder level at 64x256.
-_SLAB_F32_BUDGET = 2 << 20
+# VMEM budget for the support gate. Two hard-won facts (2026-08-19, real
+# TPU — the r4 driver-bench failure):
+#   * the channel axis is LANE-PADDED to a multiple of 128 in VMEM, so a
+#     c=32 slab occupies 4x its logical bytes;
+#   * the BACKWARD kernel holds ~8 live f32 slabs at once (xf, dyf, xhat,
+#     ypre, dxhat and the dx/partial outputs plus fusion temps): the
+#     flagship encoder norm1 at (128, 32, 128, 32) AOT-compiled to a
+#     16.43 MB scoped allocation against the 16.00 MB limit and FAILED.
+# Gate on padded-slab * live-set <= 14 MB (headroom under the 16 MB limit).
+_BWD_LIVE_SLABS = 8
+_VMEM_SCOPED_BUDGET = 14 << 20
+
+
+def _padded_slab_bytes(h: int, w: int, c: int) -> int:
+    c_pad = -(-c // 128) * 128
+    return h * w * c_pad * 4
 
 
 def _shape_supported(x_shape) -> bool:
-    """Per-sample slab fits the VMEM budget (backend-independent — batch
-    sharding does not change the per-sample (H, W, C) slab)."""
+    """Per-sample slab (lane-padded) x backward live-set fits VMEM
+    (backend-independent — batch sharding does not change the per-sample
+    (H, W, C) slab)."""
     if len(x_shape) != 4:
         return False
     b, h, w, c = x_shape
-    return h * w * c * 4 <= _SLAB_F32_BUDGET and w >= 8
+    return (_padded_slab_bytes(h, w, c) * _BWD_LIVE_SLABS
+            <= _VMEM_SCOPED_BUDGET and w >= 8)
 
 
 def fused_in_supported(x_shape) -> bool:
@@ -163,11 +176,15 @@ def _pallas_fwd(x, gamma, beta, eps: float, alpha: float,
     return y, mean, rstd
 
 
-def _pallas_bwd(x, dy, gamma, beta, mean, rstd, alpha: float,
-                interpret: bool = False):
+def _pallas_bwd_raw(x, dy, g2, b2, mean, rstd, alpha: float,
+                    interpret: bool = False):
+    """Backward kernel returning PER-SAMPLE (B, 1, C) dgamma/dbeta partials.
+
+    g2/b2 must already be f32 (1, C). The sharded backend's partition
+    lower_fn calls this directly: under a batch-sharded mesh each shard
+    must emit its own (B_shard, 1, C) partials, with the batch sum (and
+    its GSPMD psum) happening OUTSIDE the wrapped op."""
     b, h, w, c = x.shape
-    g2 = gamma.astype(jnp.float32).reshape(1, c)
-    b2 = beta.astype(jnp.float32).reshape(1, c)
     dx, dg_part, db_part = pl.pallas_call(
         partial(_bwd_kernel, alpha),
         grid=(b,),
@@ -191,6 +208,15 @@ def _pallas_bwd(x, dy, gamma, beta, mean, rstd, alpha: float,
         ],
         interpret=interpret,
     )(x, dy, g2, b2, mean, rstd)
+    return dx, dg_part, db_part
+
+
+def _pallas_bwd(x, dy, gamma, beta, mean, rstd, alpha: float,
+                interpret: bool = False):
+    g2 = gamma.astype(jnp.float32).reshape(1, -1)
+    b2 = beta.astype(jnp.float32).reshape(1, -1)
+    dx, dg_part, db_part = _pallas_bwd_raw(x, dy, g2, b2, mean, rstd, alpha,
+                                           interpret)
     dgamma = jnp.sum(dg_part, axis=(0, 1)).astype(gamma.dtype)
     dbeta = jnp.sum(db_part, axis=(0, 1)).astype(beta.dtype)
     return dx, dgamma, dbeta
@@ -355,8 +381,11 @@ def instance_norm_act(x, gamma, beta, *, eps: float = 1e-3,
     backend='auto' takes the fused Pallas path on TPU when the per-sample
     slab fits the VMEM budget, else the plain-XLA composition (bit-identical
     to the historical unfused graph). backend='sharded' wraps the kernels in
-    custom_partitioning for GSPMD-sharded jits (parallel/dp.py routes to it
-    under data-parallel meshes; off-TPU shards run interpreted)."""
+    custom_partitioning for GSPMD-sharded jits (off-TPU shards run
+    interpreted). NOTE: parallel/dp.py:_mesh_cfg currently routes mesh
+    configs to the XLA composition (fused_instance_norm=False) — 'sharded'
+    is an explicit opt-in, kept tested for when the fused kernel earns a
+    mesh default."""
     if backend == "sharded" and _shape_supported(x.shape):
         return _fused_sharded(x, gamma, beta, eps, alpha)
     if backend == "pallas" or (backend == "auto" and fused_in_supported(x.shape)):

@@ -97,19 +97,56 @@ def test_module_fuse_flag_is_noop_on_cpu():
 
 def test_support_gate():
     assert not fused_in_supported((2, 8, 32, 64))  # cpu backend in tests
-    # Shape-level constraints (budget math is backend-independent).
+    # Shape-level constraints: the gate must model the LANE PADDING (c is
+    # padded to a multiple of 128 in VMEM) and the backward's ~8-slab live
+    # set — the flagship encoder norm1 (32, 128, 32) AOT-failed at 16.43 MB
+    # scoped VMEM on the real TPU (BENCH_r04 failed-stage root cause).
     from skyhdr.ops.pallas import instnorm as m
 
-    assert (32 * 128 * 64 * 4) <= m._SLAB_F32_BUDGET      # flagship level 1
-    assert (64 * 256 * 64 * 4) > m._SLAB_F32_BUDGET       # 64x256 level 1
-    assert (32 * 128 * 128 * 4) <= m._SLAB_F32_BUDGET     # 64x256 level 2
+    def fits(h, w, c):
+        return (m._padded_slab_bytes(h, w, c) * m._BWD_LIVE_SLABS
+                <= m._VMEM_SCOPED_BUDGET)
+
+    assert m._padded_slab_bytes(32, 128, 32) == 32 * 128 * 128 * 4
+    assert not fits(32, 128, 32)     # flagship level 1 — the r4 failure
+    assert not fits(32, 128, 64)     # flagship level 1 width-64
+    assert not fits(64, 256, 64)     # 64x256 level 1
+    assert fits(16, 64, 64)          # flagship level 2
+    assert fits(8, 32, 128)          # flagship level 3
+
+
+def test_sharded_backend_grads_under_mesh():
+    """backend='sharded' forward+backward on a batch-sharded 8-device mesh
+    must match the XLA composition's autodiff (regression for the
+    _pallas_bwd_raw factoring: the partition lower_fn needs per-shard
+    (B, 1, C) dgamma/dbeta partials, not the summed (C,) values)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    x, gamma, beta = _inputs(jnp.float32, c=16, shape=(8, 8, 32))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    def loss(fn):
+        return lambda x, g, b: jnp.sum(jnp.sin(fn(x, g, b)))
+
+    ref_fn = loss(lambda x, g, b: instance_norm_act_xla(x, g, b, alpha=0.1))
+    sh_fn = loss(lambda x, g, b: instance_norm_act(
+        x, g, b, alpha=0.1, backend="sharded"))
+
+    g_ref = jax.grad(ref_fn, argnums=(0, 1, 2))(x, gamma, beta)
+    g_sh = jax.jit(jax.grad(sh_fn, argnums=(0, 1, 2)))(x_sh, gamma, beta)
+    for name, a, b in zip(("dx", "dgamma", "dbeta"), g_ref, g_sh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
 
 
 def test_mesh_cfg_disables_fused_in():
-    from skyhdr.config import Config
+    from skyhdr.config import Config, ModelConfig
     from skyhdr.parallel.dp import _mesh_cfg
 
-    cfg = Config()
-    assert cfg.model.fused_instance_norm is True
+    # Default OFF since the r5 TPU measurement (see ModelConfig docstring).
+    assert Config().model.fused_instance_norm is False
+    # An explicit opt-in must still be forced off under GSPMD meshes.
+    cfg = Config(model=ModelConfig(fused_instance_norm=True))
     assert _mesh_cfg(cfg).model.fused_instance_norm is False
     assert _mesh_cfg(cfg, shard_width=True).model.fused_instance_norm is False

@@ -41,7 +41,12 @@ def main():
     names = sys.argv[1:] or list(STAGES)
     for name in names:
         for fused in (False, True):
-            res = STAGES[name](fused)
+            try:
+                res = STAGES[name](fused)
+            except Exception as e:
+                print(f"{name} fused={fused}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+                continue
             print(f"{name} fused={fused}: {res['ms']:.3f} ms "
                   f"({res['panoramas_per_s']:.1f} pano/s, "
                   f"mfu {res.get('mfu') or 0:.3f}, "
