@@ -442,63 +442,141 @@ def bench_eval_pipeline(cfg, iters=12, repeats=3):
             "spread_ms": [round(t * 1e3, 3) for t in times], "mfu": None}
 
 
-def _run_stages(result):
-    """Worker-thread body: run budget-gated stages, updating `result` (the
-    shared dict the main thread will print) after EVERY stage."""
-    import gc
+# BASELINE.md records (ms/step) for the regression sentinel: a stage
+# landing >2x its record is flagged in extras["regressed_vs_baseline"] so a
+# degraded judged artifact carries its own red flag (the r4 bench regressed
+# 13x on train_step_bf16_b32 and nothing in the JSON said so).
+BASELINE_STAGE_MS = {
+    "inference_b32": 4.79,
+    "train_step_bf16_b128": 28.6,
+    "da_conv_64x256_train_b64": 261.0,
+    "train_step_b32": 16.8,
+    "train_step_bf16_b32": 14.5,
+    "sun_train_step_b32": 7.92,
+    "inference_bf16_b32": 4.35,
+    "inference_b1": 1.4,
+    "eval_pipeline_b32": 6.84,
+    "da_conv_64x256_infer_b32": 33.8,
+    "da_conv_64x256_infer_b32_bf16w": 30.6,
+    "train_step_bf16_b256": 75.4,
+}
 
-    from skyhdr.config import Config, DataConfig, ModelConfig
 
-    extras = result["extras"]
-    stage_times = []  # measured wall per completed stage (adaptive gating)
+class StageRunner:
+    """Budget-gated stage driver with incremental, lock-guarded publishing.
 
-    def run(name, key, fn, est_s, is_headline=False):
+    All mutation of result/extras goes through `self.lock`; the deadline
+    watchdog snapshots under the same lock, so the final JSON line can never
+    hit 'dictionary changed size during iteration' mid-dumps (ADVICE r4).
+    Failure forensics (VERDICT r4 item 2): the exception text is persisted
+    per stage in extras["failed_stage_errors"], a failed stage is retried
+    once when the budget allows, and a stage landing >2x its BASELINE.md
+    record is flagged in extras["regressed_vs_baseline"]."""
+
+    def __init__(self, result, remaining=None, baseline_ms=None,
+                 tf_cpu_baseline=None):
+        self.result = result
+        self.extras = result["extras"]
+        self.lock = threading.Lock()
+        self.remaining = remaining or _remaining
+        self.baseline_ms = (BASELINE_STAGE_MS if baseline_ms is None
+                            else baseline_ms)
+        self.tf_cpu_baseline = tf_cpu_baseline or TF_CPU_BASELINE_INFER_32x128
+        self.stage_times = []  # wall per completed stage (adaptive gating)
+
+    def _append(self, listkey, value):
+        with self.lock:
+            self.extras.setdefault(listkey, []).append(value)
+
+    def snapshot(self):
+        """Deep-enough copy for json.dumps while stages keep publishing."""
+        with self.lock:
+            out = dict(self.result)
+            out["extras"] = {
+                k: (list(v) if isinstance(v, list)
+                    else dict(v) if isinstance(v, dict) else v)
+                for k, v in self.extras.items()}
+        return out
+
+    def run(self, name, key, fn, est_s, is_headline=False):
+        import gc
+
         # Adaptive budget gate: once two stages have completed, the expected
         # cost of the next is min(cold estimate, 2x the slowest observed) —
         # a warm compilation cache makes every stage far cheaper than its
         # cold estimate, and the gate should not skip stages that fit.
         est = est_s
-        if len(stage_times) >= 2:
-            est = min(est_s, max(60.0, 2.0 * max(stage_times)))
+        if len(self.stage_times) >= 2:
+            est = min(est_s, max(60.0, 2.0 * max(self.stage_times)))
         # The headline is always attempted — the watchdog caps the damage,
         # and a tried-but-truncated headline beats a reported 0.
-        if not is_headline and _remaining() < est + 45.0:
-            _log(f"{name}: SKIPPED (remaining {_remaining():.0f}s < "
+        if not is_headline and self.remaining() < est + 45.0:
+            _log(f"{name}: SKIPPED (remaining {self.remaining():.0f}s < "
                  f"est {est:.0f}s + 45s emission headroom)")
-            extras.setdefault("skipped_stages", []).append(key)
+            self._append("skipped_stages", key)
             return None
-        _log(f"{name} ... (elapsed {_elapsed():.0f}s)")
-        t0 = time.monotonic()
-        try:
-            res = fn()
-        except Exception as e:
-            _log(f"  FAILED: {type(e).__name__}: {e}")
-            extras.setdefault("failed_stages", []).append(key)
-            return None
-        stage_times.append(time.monotonic() - t0)
+        res = None
+        for attempt in range(2):
+            _log(f"{name} ... (elapsed {_elapsed():.0f}s)"
+                 + (" [retry]" if attempt else ""))
+            t0 = time.monotonic()
+            try:
+                res = fn()
+                break
+            except Exception as e:
+                err = f"{type(e).__name__}: {e}"
+                _log(f"  FAILED: {err}")
+                with self.lock:
+                    self.extras.setdefault("failed_stage_errors", {})[key] = err
+                # Retry once when the budget still covers the stage — r4
+                # lost two judged stages to single transient failures.
+                if attempt == 0 and self.remaining() >= est + 45.0:
+                    continue
+                self._append("failed_stages", key)
+                return None
+        if attempt:
+            self._append("retried_ok_stages", key)
+        self.stage_times.append(time.monotonic() - t0)
         _log(f"  {res['panoramas_per_s']:.1f} pano/s "
              f"(min {res['ms']:.2f} ms over {res['spread_ms']})"
              + (f", mfu {res['mfu']:.3f}" if res.get("mfu") else "")
-             + f"  [stage {stage_times[-1]:.0f}s]")
+             + f"  [stage {self.stage_times[-1]:.0f}s]")
         gc.collect()
         # Publish incrementally so the deadline watchdog always prints the
         # freshest completed set.
-        extras[f"{key}_panoramas_per_s"] = round(res["panoramas_per_s"], 2)
-        extras[f"{key}_ms"] = round(res["ms"], 3)
-        extras[f"{key}_spread_ms"] = res["spread_ms"]
+        pub = {
+            f"{key}_panoramas_per_s": round(res["panoramas_per_s"], 2),
+            f"{key}_ms": round(res["ms"], 3),
+            f"{key}_spread_ms": res["spread_ms"],
+        }
         if res.get("mfu"):
-            extras[f"{key}_mfu"] = round(res["mfu"], 4)
+            pub[f"{key}_mfu"] = round(res["mfu"], 4)
         if res.get("relay_suspect_samples"):
-            extras[f"{key}_relay_suspect_samples"] = res[
-                "relay_suspect_samples"]
+            pub[f"{key}_relay_suspect_samples"] = res["relay_suspect_samples"]
         if res.get("dispatch_ms_per_call") is not None:
-            extras[f"{key}_dispatch_ms_per_call"] = res["dispatch_ms_per_call"]
-        if is_headline:
-            tput = res["panoramas_per_s"]
-            result["value"] = round(tput, 2)
-            result["vs_baseline"] = round(
-                tput / TF_CPU_BASELINE_INFER_32x128, 2)
+            pub[f"{key}_dispatch_ms_per_call"] = res["dispatch_ms_per_call"]
+        with self.lock:
+            self.extras.update(pub)
+            if is_headline:
+                tput = res["panoramas_per_s"]
+                self.result["value"] = round(tput, 2)
+                self.result["vs_baseline"] = round(
+                    tput / self.tf_cpu_baseline, 2)
+        base = self.baseline_ms.get(key)
+        if base and res["ms"] > 2.0 * base:
+            _log(f"  REGRESSION: {res['ms']:.2f} ms vs BASELINE.md record "
+                 f"{base:.2f} ms (> 2x)")
+            self._append("regressed_vs_baseline", key)
         return res
+
+
+def _run_stages(runner):
+    """Worker-thread body: run budget-gated stages through `runner`, which
+    publishes into the shared result dict after EVERY stage."""
+    from skyhdr.config import Config, DataConfig, ModelConfig
+
+    extras = runner.extras
+    run = runner.run
 
     extras["device"] = str(jax.devices()[0])
     extras["tf_cpu_baseline_infer_32x128_b32"] = TF_CPU_BASELINE_INFER_32x128
@@ -577,7 +655,8 @@ def _run_stages(result):
             Config(model=ModelConfig(compute_dtype="bfloat16"),
                    data=DataConfig(batch_size=256)), iters=6), est_s=220)
 
-    result["_done"] = True
+    with runner.lock:
+        runner.result["_done"] = True
 
 
 def main():
@@ -589,16 +668,20 @@ def main():
         "vs_baseline": 0.0,
         "extras": {},
     }
-    worker = threading.Thread(target=_run_stages, args=(result,), daemon=True)
+    runner = StageRunner(result)
+    worker = threading.Thread(target=_run_stages, args=(runner,), daemon=True)
     worker.start()
     worker.join(timeout=max(BENCH_DEADLINE_S - _elapsed(), 1.0))
     if worker.is_alive():
         _log(f"DEADLINE ({BENCH_DEADLINE_S:.0f}s) hit with a stage still "
              f"running — emitting partial results")
-        result["extras"]["deadline_hit"] = True
-    result["extras"]["bench_wall_s"] = round(_elapsed(), 1)
-    result.pop("_done", None)
-    print(json.dumps(result), flush=True)
+        with runner.lock:
+            result["extras"]["deadline_hit"] = True
+    with runner.lock:
+        result["extras"]["bench_wall_s"] = round(_elapsed(), 1)
+    out = runner.snapshot()
+    out.pop("_done", None)
+    print(json.dumps(out), flush=True)
     # Skip interpreter teardown: the tunneled backend's atexit hooks can
     # stall, and a stalled daemon thread must not keep the process alive.
     sys.stdout.flush()
