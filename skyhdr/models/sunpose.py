@@ -44,6 +44,36 @@ class SunPoseLayer(nn.Module):
         return x
 
 
+class SpatialDense(nn.Module):
+    """Dense over a flattened [b, h, w, c] input WITHOUT the flatten.
+
+    Param-tree-identical to `nn.Dense` on `x.reshape(b, -1)` (kernel
+    [h*w*c, features], bias [features]; same initializers, same dtype
+    promotion), but computed as einsum('bhwc,hwcd->bd') on the 4-D input.
+    Why: under a dp x width GSPMD mesh the flatten is a reshape of a
+    width-sharded tensor, which the SPMD partitioner can only serve by
+    involuntary full rematerialization — replicating the activation every
+    step (spmd_partitioner.cc warning in the r4 dryrun). A dot_general
+    whose CONTRACTING dims carry the width sharding partitions natively:
+    each shard contracts its local columns and XLA inserts one psum. The
+    kernel reshape is free (replicated, layout-only)."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (h * w * c, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        dt = self.dtype or jnp.float32
+        k4 = kernel.reshape(h, w, c, self.features)
+        y = jnp.einsum("bhwc,hwcd->bd", x.astype(dt), k4.astype(dt))
+        return y + bias.astype(dt)
+
+
 class SunPoseNet(nn.Module):
     """Reference sunpose_net.py:32-71."""
 
@@ -73,8 +103,7 @@ class SunPoseNet(nn.Module):
         p3 = maxpool2(a3)
 
         dt = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None)
-        flat = p3.reshape((p3.shape[0], -1))
-        y = nn.relu(nn.Dense(fc_dim, dtype=dt, name="fc1")(flat))
+        y = nn.relu(SpatialDense(fc_dim, dtype=dt, name="fc1")(p3))
         y = nn.relu(nn.Dense(fc_dim, dtype=dt, name="fc2")(y))
         y = y.astype(jnp.float32)  # softmax over 4096 bins stays f32
         # Softmax over non-negative logits, as the reference applies softmax

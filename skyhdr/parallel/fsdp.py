@@ -47,10 +47,21 @@ DEFAULT_MIN_BYTES = 1 << 20
 
 
 def _leaf_spec(leaf, n_shards: int, min_bytes: int) -> P:
-    """Shard the largest evenly-divisible dimension of a big leaf over
-    `data`; everything else replicated. Works on concrete arrays and
+    """Shard the LAST evenly-divisible dimension of a big leaf over `data`;
+    everything else replicated. Works on concrete arrays and
     jax.eval_shape's ShapeDtypeStructs alike (only .shape/.dtype are read,
-    so shardings can be planned without allocating the 9.9 GB state)."""
+    so shardings can be planned without allocating the 9.9 GB state).
+
+    Trailing-dim preference is deliberate (not just a tie-break): the big
+    leaves are the sunpose FC kernels [h*w*c, bins] and their moments, and
+    the model reshapes the kernel to [h, w, c, bins]
+    (models/sunpose.py:SpatialDense). A dim-0 sharding would shatter
+    across (h, w, c) in that reshape, and the Grad-CAM second-order
+    backward's dX dot then inherits a spatial sharding that the SPMD
+    partitioner can only reconcile by involuntary full rematerialization
+    (spmd_partitioner.cc:652 in the r4 dryrun). Sharding the OUTPUT dim
+    (Megatron column-parallel convention) survives the reshape unchanged;
+    the HBM saving is identical either way."""
     shape = getattr(leaf, "shape", ())
     dtype = getattr(leaf, "dtype", None)
     if dtype is None or not shape:
@@ -58,7 +69,7 @@ def _leaf_spec(leaf, n_shards: int, min_bytes: int) -> P:
     nbytes = math.prod(shape) * np.dtype(dtype).itemsize
     if nbytes < min_bytes:
         return P()
-    for d in sorted(range(len(shape)), key=lambda i: shape[i], reverse=True):
+    for d in reversed(range(len(shape))):
         if shape[d] >= n_shards and shape[d] % n_shards == 0:
             spec = [None] * len(shape)
             spec[d] = "data"

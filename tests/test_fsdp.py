@@ -173,3 +173,28 @@ def test_mesh_cfg_disables_fold_under_width_sharding():
     assert cfg.model.fold_tiny_convs is True
     assert _mesh_cfg(cfg, shard_width=False).model.fold_tiny_convs is True
     assert _mesh_cfg(cfg, shard_width=True).model.fold_tiny_convs is False
+
+
+def test_no_involuntary_remat_in_spmd_compile(capfd):
+    """VERDICT r4 item 4: the dp x width FSDP layout must compile with NO
+    'Involuntary full rematerialization' warning from the SPMD partitioner.
+    The r4 dryrun replicated a SunPoseNet fc1 tensor every step — fixed by
+    (a) SpatialDense computing fc1 as einsum('bhwc,hwcd->bd') instead of
+    flatten-then-Dense (the flatten of a width-sharded activation cannot be
+    partitioned) and (b) FSDP sharding the fc kernels on their OUTPUT dim
+    (a dim-0 sharding shatters across (h, w, c) in the kernel reshape and
+    poisons the Grad-CAM second-order dX dot)."""
+    cfg = _cfg(batch=16)
+    banks = _banks()
+    vgg = random_vgg16_weights()
+    batch = _batch(cfg)
+
+    mesh = make_mesh(data=2, width=4)
+    step, shard_state, shard_batch = make_fsdp_gan_train_step(
+        cfg, banks, vgg, mesh, shard_width=True)
+    state = shard_state(create_gan_state(cfg, jax.random.PRNGKey(0)))
+    capfd.readouterr()  # drop anything emitted before the compile of record
+    state, m = step(state, shard_batch(batch), jax.random.PRNGKey(3))
+    jax.block_until_ready(m)
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[-2000:]
