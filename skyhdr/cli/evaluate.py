@@ -57,10 +57,19 @@ def _iter_real_batches(real_dir: str, imshape, batch_size: int):
         ldrs.append(ldr)
         hdrs.append(hdr)
         if len(ldrs) == batch_size:
-            yield np.stack(ldrs), np.stack(hdrs)
+            yield np.stack(ldrs), np.stack(hdrs), batch_size
             ldrs, hdrs = [], []
     if ldrs:
-        yield np.stack(ldrs), np.stack(hdrs)
+        # Pad the tail to batch_size (repeat the last sample) so the jitted
+        # eval_real sees ONE shape — a partial final batch would recompile,
+        # a 10-60 s remote compile on this tunnel (cli/inference.py pads its
+        # tail group for the same reason). The pad rows are masked out of
+        # the metric sums by the yielded count.
+        n = len(ldrs)
+        pad = batch_size - n
+        ldrs += [ldrs[-1]] * pad
+        hdrs += [hdrs[-1]] * pad
+        yield np.stack(ldrs), np.stack(hdrs), n
 
 
 def main(argv=None):
@@ -123,16 +132,16 @@ def main(argv=None):
 
     def batches():
         if args.real_dir:
-            for ldr, hdr_t in _iter_real_batches(
+            for ldr, hdr_t, n in _iter_real_batches(
                     args.real_dir, cfg.model.imshape, cfg.data.batch_size):
-                yield ("real", ldr, hdr_t)
+                yield ("real", ldr, hdr_t, n)
         else:
             for batch in ds:
-                yield ("synth", batch["hdr"], None)
+                yield ("synth", batch["hdr"], None, batch["hdr"].shape[0])
 
     key = jax.random.PRNGKey(args.seed)
     sums, count = {}, 0
-    for i, (kind, a, b) in enumerate(batches()):
+    for i, (kind, a, b, n) in enumerate(batches()):
         if args.max_batches and i >= args.max_batches:
             break
         if kind == "real":
@@ -143,8 +152,10 @@ def main(argv=None):
             metrics, (ldr, pred, hdr_t) = eval_one(
                 gen_vars, sun_vars, sub, jnp.asarray(a))
         for k, v in metrics.items():
-            sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
-        count += a.shape[0]
+            # v is a per-image vector; sum only the n real rows (the real
+            # path's tail batch is padded to a fixed shape).
+            sums[k] = sums.get(k, 0.0) + float(jnp.sum(v[:n]))
+        count += n
         if args.render_dir:
             import numpy as np
 

@@ -58,7 +58,8 @@ def _iter_samples(files: List[str], imshape,
         for p in files:
             yield from _decode_file(p, imshape)
         return
-    with ThreadPoolExecutor(workers) as ex:
+    ex = ThreadPoolExecutor(workers)
+    try:
         files_it = iter(files)
         pending = deque(
             ex.submit(_decode_file, p, imshape)
@@ -69,6 +70,12 @@ def _iter_samples(files: List[str], imshape,
             if nxt is not None:
                 pending.append(ex.submit(_decode_file, nxt, imshape))
             yield from samples
+    finally:
+        # An abandoned iteration (evaluate --max-batches, zip with a shorter
+        # iterable) finalizes the generator here; cancel the in-flight
+        # window instead of draining up to workers*2 decodes, and never
+        # block generator finalization on pool teardown.
+        ex.shutdown(wait=False, cancel_futures=True)
 
 
 def prepare_sample(example: Dict, imshape: Tuple[int, int, int]):

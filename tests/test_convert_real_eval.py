@@ -85,3 +85,24 @@ def test_evaluate_consumes_real_records(tmp_path, rng, capsys):
     assert result["images"] == 3
     for k in ("psnr", "si_rmse", "emd"):
         assert k in result and np.isfinite(result[k]), result
+
+    # The tail batch (1 of 3 at batchsize 2) is PADDED to the fixed batch
+    # shape and masked out of the sums — scores must match a padding-free
+    # run of the same images (batchsize 1). Guards both the recompile fix
+    # and the row masking.
+    evaluate(["--real-dir", out, "--imheight", "16", "--imwidth", "64",
+              "--batchsize", "1", "--workdir", str(tmp_path)])
+    line1 = [l for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")][-1]
+    result1 = json.loads(line1)
+    assert result1["images"] == 3
+    # psnr is excluded: its max_val is the BATCH max, so scores legitimately
+    # shift with batch grouping; si-RMSE and EMD are per-image independent.
+    # Tolerances absorb the f32 accumulation-order delta between the b=2 and
+    # b=1 compiled forwards (~1e-4 rel on si-RMSE; EMD is absolute-scale on
+    # random-init HDR magnitudes so the same roundoff lands ~1e-2 rel). A
+    # leaked pad row would shift both by ~1/3 — far outside either bound.
+    np.testing.assert_allclose(result["si_rmse"], result1["si_rmse"],
+                               rtol=1e-3, err_msg="si_rmse")
+    np.testing.assert_allclose(result["emd"], result1["emd"],
+                               rtol=5e-2, err_msg="emd")
