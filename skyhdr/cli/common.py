@@ -55,6 +55,14 @@ def add_common_flags(parser: argparse.ArgumentParser):
                              "param-sized dW buffers at half width (update "
                              "math stays f32; perf-neutral per step, see "
                              "TrainConfig.grad_dtype)")
+    parser.add_argument("--param-dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="stored model-parameter dtype for training: "
+                             "bfloat16 streams half-width params through the "
+                             "forward/backward while the optimizer keeps an "
+                             "f32 master copy in its state (update math and "
+                             "accumulation stay f32; see "
+                             "TrainConfig.param_dtype)")
     parser.add_argument("--streaming", type=str2bool, default=None,
                         help="stream TFRecords with a windowed shuffle "
                              "buffer instead of caching the split in RAM "
@@ -119,6 +127,7 @@ def config_from_args(args) -> Config:
                           opt_state_dtype=getattr(args, "opt_state_dtype",
                                                   "float32"),
                           grad_dtype=getattr(args, "grad_dtype", "float32"),
+                          param_dtype=getattr(args, "param_dtype", "float32"),
                           ckpt_every_epochs=getattr(args, "ckpt_every", 10),
                           steps_per_dispatch=getattr(
                               args, "steps_per_dispatch", 1),
@@ -203,11 +212,30 @@ def restore_model_vars(cfg: Config, workdir: str, *, sky: str = None,
     key = jax.random.PRNGKey(seed)
     put = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
 
+    def restore_host(ckpt_dir, factory):
+        """Host restore that tolerates checkpoints trained with either
+        TrainConfig.param_dtype: the knob wraps the opt state in
+        MasterParamsState, so the abstract template's TREE STRUCTURE must
+        match the save — try the configured dtype first, then the other."""
+        import dataclasses
+
+        err = None
+        for pd in dict.fromkeys([cfg.train.param_dtype, "float32",
+                                 "bfloat16"]):
+            c = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                      param_dtype=pd))
+            abstract = jax.eval_shape(lambda k: factory(c, k), key)
+            try:
+                return CheckpointManager(ckpt_dir).restore_latest_host(
+                    abstract)
+            except Exception as e:  # structural mismatch: try next dtype
+                err = e
+        raise err  # every template failed: a real (corrupt-ckpt) error
+
     gen_vars = sun_vars = None
     sky_dir = sky or os.path.join(workdir, cfg.train.checkpoint_dir, "SKY")
     if os.path.isdir(sky_dir):
-        abstract = jax.eval_shape(lambda k: create_gan_state(cfg, k), key)
-        host = CheckpointManager(sky_dir).restore_latest_host(abstract)
+        host = restore_host(sky_dir, create_gan_state)
         if host is not None:
             gen_vars, sun_vars = put(host.gen_vars), put(host.sun_vars)
             log("Latest SKY checkpoint restored")
@@ -217,8 +245,7 @@ def restore_model_vars(cfg: Config, workdir: str, *, sky: str = None,
         del state  # frees opt slots (3.2 GB at 64x256)
     sun_dir = sun or os.path.join(workdir, cfg.train.checkpoint_dir, "SUN")
     if os.path.isdir(sun_dir):
-        abstract = jax.eval_shape(lambda k: create_sun_state(cfg, k), key)
-        host = CheckpointManager(sun_dir).restore_latest_host(abstract)
+        host = restore_host(sun_dir, create_sun_state)
         if host is not None:
             sun_vars = put(host.sun_vars)
             log("Latest SUN checkpoint restored")

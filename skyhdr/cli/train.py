@@ -63,13 +63,36 @@ def main(argv=None):
         from skyhdr.train.checkpoints import CheckpointManager
         from skyhdr.train.engine import create_sun_state
 
-        abstract = jax.eval_shape(lambda k: create_sun_state(cfg, k),
-                                  jax.random.PRNGKey(args.seed))
+        # The SUN ckpt's param_dtype may differ from this stage's (e.g. f32
+        # pretrain -> bf16-param GAN). param_dtype changes the SunState opt
+        # TREE STRUCTURE (MasterParamsState wraps the Adam state), so try a
+        # template per candidate dtype; the handoff helper then casts the
+        # stored copy and refreshes the f32 master regardless.
+        import dataclasses
+
         mgr = CheckpointManager(sun_dir, cfg.train.ckpt_max_to_keep)
-        host = mgr.restore_latest_host(abstract)
+        host = err = None
+        for pd in dict.fromkeys([cfg.train.param_dtype, "float32",
+                                 "bfloat16"]):
+            sun_cfg = cfg.replace(train=dataclasses.replace(
+                cfg.train, param_dtype=pd))
+            abstract = jax.eval_shape(lambda k: create_sun_state(sun_cfg, k),
+                                      jax.random.PRNGKey(args.seed))
+            try:
+                host = mgr.restore_latest_host(abstract)
+                err = None
+                break
+            except Exception as e:  # structural mismatch: try next dtype
+                err = e
+        if err is not None:
+            raise err
         if host is not None:
-            loop.state = loop.state.replace(sun_vars=jax.tree_util.tree_map(
-                jnp.asarray, host.sun_vars))
+            from skyhdr.train.engine import replace_sun_params
+
+            loop.state = replace_sun_params(
+                cfg, loop.state,
+                jax.tree_util.tree_map(jnp.asarray,
+                                       host.sun_vars["params"]))
             print("Pretrained SUN checkpoint restored for fine-tuning")
     loop.run(epochs=cfg.train.epochs, rng_seed=args.seed)
 

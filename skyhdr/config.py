@@ -134,6 +134,21 @@ class TrainConfig:
     # -1.30 dB PSNR vs f32 state on a single 60-epoch run (BASELINE.md
     # quality table).
     opt_state_dtype: str = "float32"
+    # Stored MODEL-parameter dtype for training (VERDICT r4 item 7).
+    # 'bfloat16' stores the params the forward/backward actually stream at
+    # bf16 (at 64x256 the 3.2 GB sunpose FCs, reference sunpose_net.py:36,
+    # dominate) while the optimizer keeps an f32 MASTER copy in its state
+    # (engine._with_param_master): updates accumulate in f32, the stored
+    # params are re-derived as round_bf16(master) each step, so no update
+    # stagnates in the 2^-8 bf16 mantissa. NB grads w.r.t. bf16 leaves
+    # arrive bf16-rounded regardless of grad_dtype (the dtype-cast's vjp)
+    # — the same <=2^-8 relative band grad_dtype='bfloat16' carries.
+    # Net HBM residency is ~unchanged
+    # (bf16 params + f32 master ~= f32 params); the lever is per-step
+    # parameter/gradient STREAMING, not residency. Perf on the real TPU:
+    # see BASELINE.md (measured this round); one-step agreement with the
+    # f32 path is bounded in tests/test_param_dtype.py.
+    param_dtype: str = "float32"
     # Gradient staging dtype. 'bfloat16' casts the loss gradients before the
     # optimizer update (the bf16 exponent range matches f32, so no loss
     # scaling is needed; optimizer math still runs in f32). Measured

@@ -18,7 +18,7 @@ Update topology preserved exactly (train.py:382-415):
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -97,16 +97,78 @@ def _with_state_dtype(tx: optax.GradientTransformation,
     return optax.GradientTransformation(init, update)
 
 
-def _rmsprop(lr: float, state_dtype: str = "float32") -> optax.GradientTransformation:
+class MasterParamsState(NamedTuple):
+    """Optimizer state for `_with_param_master`: the wrapped transform's
+    state plus the f32 master copy of the (bf16-stored) model params."""
+
+    inner: Any
+    master: Any
+
+
+def _with_param_master(tx: optax.GradientTransformation,
+                       param_dtype: str) -> optax.GradientTransformation:
+    """Mixed-precision parameter storage (TrainConfig.param_dtype).
+
+    The MODEL params live at `param_dtype` (what the forward/backward
+    streams from HBM — at 64x256 the 3.2 GB sunpose FCs, reference
+    sunpose_net.py:36); the optimizer keeps an f32 MASTER in its state.
+    Each step: upcast grads -> inner update on the master -> new params =
+    round_bf16(new master). The emitted update is constructed so that
+    `optax.apply_updates(params_bf16, update)` lands EXACTLY on
+    round_bf16(master): both operands of the f32 subtraction/addition are
+    bf16-representable, so the arithmetic is exact (tests/test_param_dtype).
+
+    `init` must receive the f32 params (create_*_state calls it before
+    casting the stored copy) so the master starts at full precision.
+    `update` requires `params` (the stored narrow copy).
+    """
+    if param_dtype in (None, "float32"):
+        return tx
+    store = jnp.dtype(param_dtype)
+
+    def init(params):
+        master = _cast_floating(params, jnp.float32)
+        return MasterParamsState(inner=tx.init(master), master=master)
+
+    def update(updates, state, params=None):
+        assert params is not None, "param_dtype!=f32 requires params in update"
+        u32 = _cast_floating(updates, jnp.float32)
+        inner_u, new_inner = tx.update(u32, state.inner, state.master)
+        new_master = optax.apply_updates(state.master, inner_u)
+
+        def emit(m, p):
+            if not jnp.issubdtype(p.dtype, jnp.floating):
+                return jnp.zeros_like(p)
+            return m.astype(store).astype(jnp.float32) - p.astype(jnp.float32)
+
+        emitted = jax.tree_util.tree_map(emit, new_master, params)
+        return emitted, MasterParamsState(inner=new_inner, master=new_master)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _rmsprop(lr: float, state_dtype: str = "float32",
+             param_dtype: str = "float32") -> optax.GradientTransformation:
     # Keras RMSprop defaults (train.py:201-202): rho=0.9, eps=1e-7.
-    return _with_state_dtype(optax.rmsprop(lr, decay=0.9, eps=1e-7),
-                             state_dtype)
+    return _with_param_master(
+        _with_state_dtype(optax.rmsprop(lr, decay=0.9, eps=1e-7), state_dtype),
+        param_dtype)
 
 
-def _adam(lr: float, state_dtype: str = "float32") -> optax.GradientTransformation:
+def _adam(lr: float, state_dtype: str = "float32",
+          param_dtype: str = "float32") -> optax.GradientTransformation:
     # Keras Adam defaults (tf_utils.py:324).
-    return _with_state_dtype(optax.adam(lr, b1=0.9, b2=0.999, eps=1e-7),
-                             state_dtype)
+    return _with_param_master(
+        _with_state_dtype(optax.adam(lr, b1=0.9, b2=0.999, eps=1e-7),
+                          state_dtype),
+        param_dtype)
+
+
+def _store_params(tree, param_dtype: str):
+    """Cast a `params` collection to the stored dtype (never batch_stats)."""
+    if param_dtype in (None, "float32"):
+        return tree
+    return _cast_floating(tree, jnp.dtype(param_dtype))
 
 
 def build_models(cfg: Config):
@@ -133,12 +195,20 @@ def create_gan_state(cfg: Config, rng) -> GanState:
         gen_vars = unfreeze(gen.init(k1, x))
         sun_vars = unfreeze(sun.init(k2, x))
         disc_vars = unfreeze(disc.init(k3, x, x, train=False))
+        # Optimizer init sees the f32 params (the f32 master snapshots them);
+        # the STORED copy is cast to param_dtype afterwards.
         opt_gen = _rmsprop(cfg.train.learning_rate,
-                           cfg.train.opt_state_dtype).init(
+                           cfg.train.opt_state_dtype,
+                           cfg.train.param_dtype).init(
             (gen_vars["params"], sun_vars["params"])
         )
         opt_disc = _rmsprop(cfg.train.learning_rate,
-                            cfg.train.opt_state_dtype).init(disc_vars["params"])
+                            cfg.train.opt_state_dtype,
+                            cfg.train.param_dtype).init(disc_vars["params"])
+        pd = cfg.train.param_dtype
+        gen_vars["params"] = _store_params(gen_vars["params"], pd)
+        sun_vars["params"] = _store_params(sun_vars["params"], pd)
+        disc_vars["params"] = _store_params(disc_vars["params"], pd)
         return GanState(
             gen_vars=gen_vars, sun_vars=sun_vars, disc_vars=disc_vars,
             opt_gen=opt_gen, opt_disc=opt_disc,
@@ -157,12 +227,37 @@ def create_sun_state(cfg: Config, rng) -> SunState:
         x = jnp.zeros((b, h, w, c), jnp.float32)
         sun_vars = unfreeze(sun.init(rng, x))
         opt = _adam(cfg.train.learning_rate,
-                    cfg.train.opt_state_dtype).init(sun_vars["params"])
+                    cfg.train.opt_state_dtype,
+                    cfg.train.param_dtype).init(sun_vars["params"])
+        sun_vars["params"] = _store_params(sun_vars["params"],
+                                           cfg.train.param_dtype)
         return SunState(sun_vars=sun_vars, opt=opt,
                         step=jnp.zeros((), jnp.int32),
                         epoch=jnp.zeros((), jnp.int32))
 
     return jax.jit(init)(rng)
+
+
+def replace_sun_params(cfg: Config, state: GanState, sun_params) -> GanState:
+    """SUN->GAN weight handoff (reference train.py:223-230) that keeps the
+    stored-param dtype AND the optimizer's f32 master consistent.
+
+    `sun_params` is the f32 tree restored from the SUN checkpoint. Under
+    param_dtype=bfloat16 the GanState stores bf16 params while opt_gen's
+    MasterParamsState carries the f32 master for (gen, sun) — replacing only
+    the stored copy would leave the master at the fresh init and the first
+    update would silently revert the handoff."""
+    pd = cfg.train.param_dtype
+    sun_f32 = _cast_floating(sun_params, jnp.float32)
+    state = state.replace(
+        sun_vars={"params": _store_params(sun_f32, pd)})
+    if pd not in (None, "float32"):
+        opt = state.opt_gen
+        assert isinstance(opt, MasterParamsState)
+        gen_master, _ = opt.master
+        state = state.replace(opt_gen=MasterParamsState(
+            inner=opt.inner, master=(gen_master, sun_f32)))
+    return state
 
 
 def _degrade(cfg: Config, banks: DegradationBanks, key, hdr):
@@ -298,8 +393,10 @@ def make_gan_train_step(cfg: Config, banks: DegradationBanks, vgg_weights,
     raw python step for callers that re-jit with explicit shardings
     (skyhdr.parallel.dp)."""
     gen, sun, disc = build_models(cfg)
-    tx_gen = _rmsprop(cfg.train.learning_rate, cfg.train.opt_state_dtype)
-    tx_disc = _rmsprop(cfg.train.learning_rate, cfg.train.opt_state_dtype)
+    tx_gen = _rmsprop(cfg.train.learning_rate, cfg.train.opt_state_dtype,
+                      cfg.train.param_dtype)
+    tx_disc = _rmsprop(cfg.train.learning_rate, cfg.train.opt_state_dtype,
+                       cfg.train.param_dtype)
     # bf16 gradient staging (TrainConfig.grad_dtype): the cast fuses into
     # the gradient producers, halving the param-sized dW HBM writes/reads.
     grad_store = (None if cfg.train.grad_dtype in (None, "float32")
@@ -324,7 +421,9 @@ def make_gan_train_step(cfg: Config, banks: DegradationBanks, vgg_weights,
         )
         if grad_store is not None:
             grads = _cast_floating(grads, grad_store)
-        updates, new_opt_gen = tx_gen.update(grads, state.opt_gen)
+        updates, new_opt_gen = tx_gen.update(
+            grads, state.opt_gen,
+            (state.gen_vars["params"], state.sun_vars["params"]))
         new_gen_p, new_sun_p = optax.apply_updates(
             (state.gen_vars["params"], state.sun_vars["params"]), updates
         )
@@ -346,7 +445,8 @@ def make_gan_train_step(cfg: Config, banks: DegradationBanks, vgg_weights,
         )(state.disc_vars["params"])
         if grad_store is not None:
             dgrads = _cast_floating(dgrads, grad_store)
-        dupdates, new_opt_disc = tx_disc.update(dgrads, state.opt_disc)
+        dupdates, new_opt_disc = tx_disc.update(dgrads, state.opt_disc,
+                                                state.disc_vars["params"])
         new_disc_p = optax.apply_updates(state.disc_vars["params"], dupdates)
 
         new_state = state.replace(
@@ -413,7 +513,8 @@ def _sun_losses(cfg: Config, sun: SunPoseNet, sun_vars, ldr, sunpose_gt):
 def make_sun_train_step(cfg: Config, banks: DegradationBanks,
                         jit: bool = True):
     sun = SunPoseNet(cfg.model)
-    tx = _adam(cfg.train.learning_rate, cfg.train.opt_state_dtype)
+    tx = _adam(cfg.train.learning_rate, cfg.train.opt_state_dtype,
+               cfg.train.param_dtype)
     grad_store = (None if cfg.train.grad_dtype in (None, "float32")
                   else jnp.dtype(cfg.train.grad_dtype))
 
@@ -431,7 +532,8 @@ def make_sun_train_step(cfg: Config, banks: DegradationBanks,
         )
         if grad_store is not None:
             grads = _cast_floating(grads, grad_store)
-        updates, new_opt = tx.update(grads, state.opt)
+        updates, new_opt = tx.update(grads, state.opt,
+                                     state.sun_vars["params"])
         new_params = optax.apply_updates(state.sun_vars["params"], updates)
         new_state = state.replace(sun_vars={"params": new_params},
                                   opt=new_opt, step=state.step + 1)

@@ -4,6 +4,10 @@
 # with tiny shapes. Exits nonzero on the first failing stage.
 set -euo pipefail
 WORK=${1:-/tmp/verify_e2e}
+# Extra flags for the two TRAIN stages only (e.g. "--param-dtype bfloat16"
+# drives the mixed-precision param storage end-to-end while inference/
+# evaluate exercise the cross-dtype restore fallback WITHOUT the flag).
+EXTRA_TRAIN_FLAGS=${EXTRA_TRAIN_FLAGS:-}
 cd /root/repo
 # NB: append, don't clobber — the axon TPU plugin registers via a
 # sitecustomize reached through the pre-set PYTHONPATH (/root/.axon_site).
@@ -56,7 +60,7 @@ python -m skyhdr.cli.dataset_generator --dir "$WORK/laval" --out "$WORK" \
 echo "=== train_sun"
 python -m skyhdr.cli.train_sun --train true --dir "$WORK/dataset_64_16/tfrecord" \
     --imheight 16 --imwidth 64 --batchsize 2 --epochs 2 --ckpt-every 1 \
-    --workdir "$WORK" --outputimg-every 1
+    --workdir "$WORK" --outputimg-every 1 $EXTRA_TRAIN_FLAGS
 # Per-epoch dump set matches the reference (train_sun.py:353-373).
 for d in pred sungt sun_cam1 sun_cam2 sun_cam3; do
     test -f "$WORK/outputImg/SUN/val/$d/epoch2.png" || { echo "missing $d dump"; exit 1; }
@@ -66,7 +70,7 @@ ls "$WORK"/outputImg/SUN/groundTruth/*.hdr >/dev/null || { echo "missing GT HDR 
 echo "=== train (GAN)"
 python -m skyhdr.cli.train --dir "$WORK/dataset_64_16/tfrecord" \
     --imheight 16 --imwidth 64 --batchsize 2 --epochs 1 --ckpt-every 1 \
-    --workdir "$WORK"
+    --workdir "$WORK" $EXTRA_TRAIN_FLAGS
 
 echo "=== inference"
 python -m skyhdr.cli.inference --indir "$WORK/ldr_in" --outdir "$WORK/hdr_out" \

@@ -32,19 +32,23 @@ def main():
 
     bench._enable_compilation_cache()
     variants = [
-        ("f32 state, f32 grads", "float32", "float32"),
-        ("bf16 opt state", "bfloat16", "float32"),
-        ("bf16 opt state + bf16 grads", "bfloat16", "bfloat16"),
+        ("f32 state, f32 grads", "float32", "float32", "float32"),
+        ("bf16 opt state", "bfloat16", "float32", "float32"),
+        ("bf16 opt state + bf16 grads", "bfloat16", "bfloat16", "float32"),
+        ("bf16 params (f32 master)", "float32", "float32", "bfloat16"),
+        ("bf16 params + opt + grads", "bfloat16", "bfloat16", "bfloat16"),
     ]
-    keys = {"f32": 0, "bf16state": 1, "bf16both": 2}
+    keys = {"f32": 0, "bf16state": 1, "bf16both": 2, "bf16params": 3,
+            "bf16all": 4}
     if args.only is not None:
         variants = [variants[keys[args.only]]]
-    for name, osd, gd in variants:
+    for name, osd, gd, pd in variants:
         cfg = Config(
             model=ModelConfig(im_height=args.height, im_width=args.width,
                               use_da_conv=True),
             data=DataConfig(batch_size=args.batch),
-            train=TrainConfig(opt_state_dtype=osd, grad_dtype=gd),
+            train=TrainConfig(opt_state_dtype=osd, grad_dtype=gd,
+                              param_dtype=pd),
         )
         r = bench.bench_train_step(cfg, iters=args.iters,
                                    repeats=args.repeats)
