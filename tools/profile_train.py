@@ -41,6 +41,8 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--grad-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--param-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--instances", type=int, default=0,
@@ -60,7 +62,8 @@ def main():
                                    compute_dtype=args.dtype),
                  data=DataConfig(batch_size=args.batch),
                  train=TrainConfig(opt_state_dtype=args.opt_state_dtype,
-                                   grad_dtype=args.grad_dtype))
+                                   grad_dtype=args.grad_dtype,
+                                   param_dtype=args.param_dtype))
     banks = make_banks(make_synthetic_dorf(175, 1024), get_exposure_lists()[0])
     if args.sun:
         step = make_sun_train_step(cfg, banks, jit=False)
