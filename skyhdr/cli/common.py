@@ -48,13 +48,16 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="optimizer-moment storage dtype: bfloat16 "
                              "halves the optimizer slice of HBM residency "
                              "and checkpoint bytes (update math stays f32; "
-                             "see TrainConfig.opt_state_dtype)")
+                             "measured quality-free in the one-knob DA "
+                             "ablation — see BASELINE.md)")
     parser.add_argument("--grad-dtype", type=str, default="float32",
                         choices=("float32", "bfloat16"),
                         help="gradient staging dtype: bfloat16 stages the "
                              "param-sized dW buffers at half width (update "
-                             "math stays f32; perf-neutral per step, see "
-                             "TrainConfig.grad_dtype)")
+                             "math stays f32; perf-neutral per step and "
+                             "costs ~1-2 dB PSNR in the one-knob DA "
+                             "ablation — prefer --opt-state-dtype for HBM "
+                             "relief; see BASELINE.md)")
     parser.add_argument("--param-dtype", type=str, default="float32",
                         choices=("float32", "bfloat16"),
                         help="stored model-parameter dtype for training: "
