@@ -28,6 +28,13 @@ def main():
                     help="run one variant: f32 | bf16state | bf16both "
                          "(e.g. large batches where the f32 state cannot "
                          "fit on the 16 GB chip)")
+    ap.add_argument("--compute-dtype", type=str, default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="ModelConfig.compute_dtype for every variant; "
+                         "under bfloat16 the bf16-param variants need no "
+                         "materialized upcast pass (the f32-compute "
+                         "convert_element_type fusion is 18.6 ms/step at "
+                         "DA 64x256 b64 — see BASELINE.md)")
     args = ap.parse_args()
 
     bench._enable_compilation_cache()
@@ -45,7 +52,8 @@ def main():
     for name, osd, gd, pd in variants:
         cfg = Config(
             model=ModelConfig(im_height=args.height, im_width=args.width,
-                              use_da_conv=True),
+                              use_da_conv=True,
+                              compute_dtype=args.compute_dtype),
             data=DataConfig(batch_size=args.batch),
             train=TrainConfig(opt_state_dtype=osd, grad_dtype=gd,
                               param_dtype=pd),
