@@ -70,6 +70,31 @@ def _elapsed():
     return time.monotonic() - _T_START
 
 
+def _tunnel_established(port=8082, proc_paths=("/proc/net/tcp", "/proc/net/tcp6")):
+    """True if any ESTABLISHED TCP socket touches `port` (the axon relay's
+    local tunnel). During a relay outage the blocked client's 8082 socket
+    disappears while the local listener still accepts fresh connects, so
+    "deadline hit with no ESTAB 8082" is the outage signature (CLAUDE.md
+    "TUNNEL OUTAGE MODE"). Returns None when /proc isn't readable."""
+    hexport = ":%04X" % port
+    found_any = False
+    for path in proc_paths:
+        try:
+            with open(path) as f:
+                lines = f.readlines()[1:]
+        except OSError:
+            continue
+        found_any = True
+        for line in lines:
+            parts = line.split()
+            # sl local_address rem_address st ...
+            if len(parts) < 4 or parts[3] != "01":
+                continue
+            if parts[1].endswith(hexport) or parts[2].endswith(hexport):
+                return True
+    return False if found_any else None
+
+
 def _remaining():
     return BENCH_DEADLINE_S - _elapsed()
 
@@ -677,6 +702,14 @@ def main():
              f"running — emitting partial results")
         with runner.lock:
             result["extras"]["deadline_hit"] = True
+        # Self-explaining degraded artifact: a stall with the relay's 8082
+        # socket gone is the documented tunnel outage, not a code regression
+        # (four such events on 2026-08-20 alone).
+        if _tunnel_established() is False:
+            _log("no ESTABLISHED relay socket on :8082 — tunnel outage "
+                 "suspected (see CLAUDE.md 'TUNNEL OUTAGE MODE')")
+            with runner.lock:
+                result["extras"]["tunnel_outage_suspected"] = True
     with runner.lock:
         result["extras"]["bench_wall_s"] = round(_elapsed(), 1)
     out = runner.snapshot()

@@ -163,3 +163,23 @@ def test_baseline_stage_ms_covers_all_stages():
     assert keys, "stage-key regex found nothing — update the test"
     missing = keys - set(bench.BASELINE_STAGE_MS)
     assert not missing, f"stages without baseline records: {missing}"
+
+def test_tunnel_established_parses_proc_net_tcp(tmp_path):
+    # 0x1F92 == 8082. State field (4th col) "01" == ESTABLISHED.
+    header = ("  sl  local_address rem_address   st tx_queue rx_queue tr "
+              "tm->when retrnsmt   uid  timeout inode\n")
+    estab = tmp_path / "tcp_estab"
+    estab.write_text(header +
+        "   0: 0100007F:C350 0100007F:1F92 01 00000000:00000000 00:00000000 "
+        "00000000     0        0 12345\n")
+    listen_only = tmp_path / "tcp_listen"
+    listen_only.write_text(header +
+        "   0: 0100007F:1F92 00000000:0000 0A 00000000:00000000 00:00000000 "
+        "00000000     0        0 12345\n"
+        "   1: 0100007F:C351 0100007F:0050 01 00000000:00000000 00:00000000 "
+        "00000000     0        0 12346\n")
+    assert bench._tunnel_established(proc_paths=(str(estab),)) is True
+    # A LISTEN socket on 8082 (the local forwarder, which survives outages)
+    # and unrelated ESTAB sockets must NOT count as a live tunnel.
+    assert bench._tunnel_established(proc_paths=(str(listen_only),)) is False
+    assert bench._tunnel_established(proc_paths=(str(tmp_path / "nope"),)) is None
