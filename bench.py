@@ -95,6 +95,58 @@ def _tunnel_established(port=8082, proc_paths=("/proc/net/tcp", "/proc/net/tcp6"
     return False if found_any else None
 
 
+def _device_roundtrip_probe(timeout_s=75.0):
+    """Bounded device liveness check in a SUBPROCESS (a stalled transfer
+    cannot be interrupted in-process): device_put + host read, no compile.
+    Returns True (alive), False (timed out — the outage signature), or
+    None (probe itself broke — unknown, callers must not block on it)."""
+    import subprocess
+    code = ("import numpy as np, jax\n"
+            "x = jax.device_put(np.ones((8,), np.float32))\n"
+            "print(float(np.asarray(x).sum()))\n")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return None
+    return True if p.returncode == 0 else None
+
+
+def _wait_for_tunnel(extras, lock, probe=None, sleep_s=30.0,
+                     min_remaining_s=150.0, now=None):
+    """Startup outage gate. A dispatch issued while the relay upstream is
+    down wedges forever (the blocked client never recovers even after the
+    relay returns — CLAUDE.md 'TUNNEL OUTAGE MODE'), so starting stages
+    during an outage forfeits the whole artifact. Instead: one bounded
+    probe; if it times out, poll until the tunnel returns or only
+    `min_remaining_s` of deadline is left (enough for the headline stage),
+    then proceed regardless — the deadline watchdog caps the damage either
+    way. Healthy-path cost: one ~15-25 s subprocess round-trip."""
+    probe = probe or _device_roundtrip_probe
+    now = now or time.monotonic
+    t0 = now()
+    if probe() is not False:
+        return True
+    _log("startup probe: device round-trip timed out — tunnel outage; "
+         "polling instead of wedging the first dispatch")
+    with lock:
+        extras["tunnel_outage_at_start"] = True
+    while _remaining() > min_remaining_s:
+        time.sleep(min(sleep_s, max(_remaining() - min_remaining_s, 0.0)))
+        r = probe()
+        if r is not False:
+            waited = round(now() - t0, 1)
+            _log(f"tunnel back after {waited}s of startup polling")
+            with lock:
+                extras["tunnel_recovered_after_s"] = waited
+            return True
+    _log("tunnel still down with the deadline nearly spent — proceeding "
+         "(the watchdog will emit whatever completes)")
+    return False
+
+
 def _remaining():
     return BENCH_DEADLINE_S - _elapsed()
 
@@ -694,6 +746,8 @@ def main():
         "extras": {},
     }
     runner = StageRunner(result)
+    if os.environ.get("SKYHDR_BENCH_STARTUP_PROBE", "1") not in ("", "0"):
+        _wait_for_tunnel(result["extras"], runner.lock)
     worker = threading.Thread(target=_run_stages, args=(runner,), daemon=True)
     worker.start()
     worker.join(timeout=max(BENCH_DEADLINE_S - _elapsed(), 1.0))

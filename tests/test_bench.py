@@ -183,3 +183,48 @@ def test_tunnel_established_parses_proc_net_tcp(tmp_path):
     # and unrelated ESTAB sockets must NOT count as a live tunnel.
     assert bench._tunnel_established(proc_paths=(str(listen_only),)) is False
     assert bench._tunnel_established(proc_paths=(str(tmp_path / "nope"),)) is None
+
+def test_wait_for_tunnel_healthy_is_single_probe():
+    import threading
+    calls = []
+    extras = {}
+    ok = bench._wait_for_tunnel(extras, threading.Lock(),
+                                probe=lambda: calls.append(1) or True)
+    assert ok is True and len(calls) == 1 and extras == {}
+
+
+def test_wait_for_tunnel_polls_until_recovery(monkeypatch):
+    import threading
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "_remaining", lambda: 500.0)
+    seq = iter([False, False, True])
+    extras = {}
+    ok = bench._wait_for_tunnel(extras, threading.Lock(),
+                                probe=lambda: next(seq), now=lambda: 7.0)
+    assert ok is True
+    assert extras["tunnel_outage_at_start"] is True
+    assert extras["tunnel_recovered_after_s"] == 0.0
+
+
+def test_wait_for_tunnel_gives_up_near_deadline(monkeypatch):
+    import threading
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    remaining = [400.0]
+
+    def fake_remaining():
+        remaining[0] -= 100.0
+        return remaining[0]
+
+    monkeypatch.setattr(bench, "_remaining", fake_remaining)
+    extras = {}
+    ok = bench._wait_for_tunnel(extras, threading.Lock(), probe=lambda: False)
+    assert ok is False and extras["tunnel_outage_at_start"] is True
+    assert "tunnel_recovered_after_s" not in extras
+
+
+def test_wait_for_tunnel_broken_probe_never_blocks():
+    # None (probe infrastructure broke) must be treated as "unknown, go".
+    import threading
+    extras = {}
+    ok = bench._wait_for_tunnel(extras, threading.Lock(), probe=lambda: None)
+    assert ok is True and extras == {}
